@@ -1,0 +1,199 @@
+"""Gymnasium adapter: the reference's imperative API over the functional core.
+
+These classes reproduce the constructor kwargs, observation/action spaces and
+5-tuple/2-tuple step/reset semantics of the reference envs
+(``src/environments1d/hyperbolic.py``, ``parabolic.py``), so scripts written
+against lukebhan/PDEControlGym run unmodified — while every hot sub-step loop
+executes as a single jitted TPU program.
+
+Reward plug-ins: the TPU-native reward classes (rewards/) are used directly.
+Legacy reward objects exposing the reference ABC signature
+``reward(uVec, time_index, terminate, truncate, action)``
+(``base_reward.py:13``) are also supported: the adapter then materializes the
+reference-style ``(nt, state_dim)`` history buffer on the host (rows beyond
+``time_index`` stay zero, exactly like the reference's preallocated buffer) and
+calls the legacy object after each jitted step.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Type
+
+import gymnasium as gym
+import numpy as np
+from gymnasium import spaces
+
+import jax
+import jax.numpy as jnp
+
+from pdecontrolgym_tpu.envs.common import Boundary1DConfig
+from pdecontrolgym_tpu.envs.transport import TransportEnv
+from pdecontrolgym_tpu.rewards.base import BaseReward
+from pdecontrolgym_tpu.rewards.tuned import TunedReward1D
+
+
+def _is_legacy_reward(reward) -> bool:
+    return callable(getattr(reward, "reward", None)) and not isinstance(
+        reward, BaseReward
+    )
+
+
+class _ZeroReward(BaseReward):
+    """In-jit placeholder when the real reward runs host-side (legacy mode)."""
+
+    @property
+    def ring_requirement(self):
+        return 1
+
+    def __call__(self, ctx):
+        return jnp.zeros((), ctx.u.dtype)
+
+
+class Boundary1DGymEnv(gym.Env):
+    """Shared Gymnasium wrapper for the 1D boundary-control family."""
+
+    functional_cls = None
+    ghost_point = False  # parabolic state is nx+1 (parabolic.py:123-124)
+
+    def __init__(
+        self,
+        sensing_noise_func: Callable = None,
+        reset_init_condition_func: Callable = None,
+        reset_recirculation_func: Callable = None,
+        sensing_loc: str = "full",
+        control_type: str = "Dirchilet",
+        sensing_type: str = "Dirchilet",
+        limit_pde_state_size: bool = False,
+        max_state_value: float = 1e10,
+        max_control_value: float = 20,
+        control_sample_rate: float = 0.1,
+        T: float = 5.0,
+        dt: float = 1e-4,
+        X: float = 1.0,
+        dx: float = 1e-2,
+        reward_class: Type[BaseReward] = None,
+        normalize: bool = False,
+    ):
+        super().__init__()
+        self.sensing_noise_func = sensing_noise_func or (lambda s: s)
+        self.reset_init_condition_func = reset_init_condition_func
+        self.reset_recirculation_func = reset_recirculation_func
+
+        cfg = Boundary1DConfig(
+            T=T,
+            dt=dt,
+            X=X,
+            dx=dx,
+            sensing_loc=sensing_loc,
+            control_type=control_type,
+            sensing_type=sensing_type,
+            limit_pde_state_size=limit_pde_state_size,
+            max_state_value=max_state_value,
+            max_control_value=max_control_value,
+            control_sample_rate=control_sample_rate,
+            normalize=normalize,
+        )
+        self.config = cfg
+        self._legacy_reward = _is_legacy_reward(reward_class)
+        if reward_class is None:
+            reward_class = TunedReward1D(int(round(T / dt)))
+        self.reward_class = reward_class
+        env_reward = _ZeroReward() if self._legacy_reward else reward_class
+        self.fenv = self.functional_cls(cfg, env_reward)
+
+        # Mirror of the reference's public attributes (base_env_1d.py:23-28).
+        self.nt = cfg.nt
+        self.nx = cfg.nx
+        self.dt, self.T, self.dx, self.X = dt, T, dx, X
+        self.time_index = 0
+
+        obs_dim = self.fenv.obs_dim
+        self.observation_space = spaces.Box(
+            np.full(obs_dim, -max_state_value, dtype="float32"),
+            np.full(obs_dim, max_state_value, dtype="float32"),
+        )
+        self.action_space = spaces.Box(
+            np.full(1, -1, dtype="float32"), np.full(1, 1, dtype="float32")
+        )
+
+        self._jit_init = jax.jit(self.fenv.init_from)
+        self._jit_step = jax.jit(self._step_fn)
+        self._state = None
+        # Legacy-reward mode needs the reference-style history buffer.
+        self.u = np.zeros((self.nt, self.fenv.state_dim), dtype=np.float32)
+
+    def _step_fn(self, state, action):
+        new_state, out = self.fenv.step(state, action)
+        return new_state, out
+
+    @property
+    def state_dim(self) -> int:
+        return self.fenv.state_dim
+
+    def reset(self, seed: Optional[int] = None, options: Optional[dict] = None):
+        try:
+            init_condition = self.reset_init_condition_func(self.nx)
+            beta = self.reset_recirculation_func(self.nx)
+        except Exception:
+            raise Exception(
+                "Please pass both an initial condition and a recirculation "
+                "function in the parameters dictionary. See documentation for "
+                "more details"
+            )
+        self._state, obs = self._jit_init(
+            jnp.asarray(init_condition, jnp.float32), jnp.asarray(beta, jnp.float32)
+        )
+        self.time_index = 0
+        if self._legacy_reward:
+            self.u = np.zeros((self.nt, self.fenv.state_dim), dtype=np.float32)
+            self.u[0] = np.asarray(self._state.u)
+        return self.sensing_noise_func(np.asarray(obs)), {}
+
+    def step(self, control):
+        control = np.asarray(control, dtype=np.float32).reshape(-1)[0]
+        prev_t = self.time_index
+        self._state, out = self._jit_step(self._state, control)
+        self.time_index = int(self._state.time_index)
+        obs = self.sensing_noise_func(np.asarray(out.obs))
+        terminate = bool(out.terminated)
+        truncate = bool(out.truncated)
+        if self._legacy_reward:
+            reward = self._host_reward(prev_t, terminate, truncate)
+        else:
+            reward = float(out.reward)
+        return obs, reward, terminate, truncate, {}
+
+    def _host_reward(self, prev_t, terminate, truncate):
+        # Reconstruct the sub-step rows the legacy reward may index. Only the
+        # rows of the current control interval changed; rerun them on host at
+        # numpy speed (legacy mode is a compatibility path, not the hot path).
+        state = self._state
+        row = np.asarray(state.u)
+        self.u[self.time_index] = row
+        self._legacy_fill(prev_t)
+        return self.reward_class.reward(
+            self.u, self.time_index, terminate, truncate, self.u[self.time_index][-1]
+        )
+
+    def _legacy_fill(self, prev_t):
+        """Subclasses fill intermediate sub-step rows for legacy rewards.
+
+        Default: leave them zero — exact for rewards that only index the
+        current row and step boundaries (e.g. step-boundary NormReward use).
+        """
+
+    def terminate(self):
+        return self.time_index >= self.nt - 1
+
+    def truncate(self):
+        return bool(
+            self.config.limit_pde_state_size
+            and np.linalg.norm(np.asarray(self._state.u), 2)
+            >= self.config.max_state_value
+        )
+
+
+class TransportPDE1D(Boundary1DGymEnv):
+    """Gymnasium-facing 1D transport env (API parity with ``hyperbolic.py:8``)."""
+
+    functional_cls = TransportEnv

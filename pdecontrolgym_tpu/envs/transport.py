@@ -1,0 +1,51 @@
+"""1D transport (linear hyperbolic) PDE with boundary control.
+
+PDE: ``u_t = u_x + β(x) u(0, t)`` on x ∈ [0, X], controlled at x = X.
+
+Scheme parity with ``src/environments1d/hyperbolic.py:140-156``:
+
+- first-order explicit upwind: the new interior row (indices 0..nx-2) is
+  ``u + dt·((u⁺ − u)/dx + u[0]·β)`` evaluated on the *previous* row,
+- the boundary (index nx-1) is written from the control *before* the interior
+  update, so Neumann control reads the new row's ``[-2]`` entry while it is
+  still zero (``hyperbolic.py:143-145``) — i.e. the Neumann neighbor term is
+  identically 0. Replicated for trajectory parity.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from pdecontrolgym_tpu.envs.common import Boundary1DConfig, Boundary1DEnv
+
+TransportConfig = Boundary1DConfig
+
+
+class TransportEnv(Boundary1DEnv):
+    def _advance(self, u_prev, beta, control):
+        c = self.config
+        dt, dx = c.dtype(c.dt), c.dtype(c.dx)
+        # Neumann neighbor is the NEW row's [-2], still zero at write time.
+        boundary = self._control_fn(control, jnp.zeros((), c.dtype))
+        interior = u_prev[:-1] + dt * (
+            (u_prev[1:] - u_prev[:-1]) / dx + u_prev[0] * beta[:-1]
+        )
+        u_new = jnp.concatenate([interior, boundary[None]])
+        return u_new, boundary
+
+    def default_ic(self, key):
+        """Mirrors the benchmark example's samplers: a flat IC of height
+        U(1, 10) and the Chebyshev recirculation β(x) = 5·cos(7.35·acos x)
+        (``examples/transportPDE/transport1Dbackstepping.py:39-45``)."""
+        c = self.config
+        height = jax.random.uniform(key, (), c.dtype, 1.0, 10.0)
+        u0 = jnp.full((self.state_dim,), height, c.dtype)
+        beta = chebyshev_beta(self.state_dim, 7.35, 5.0, c.dtype)
+        return u0, beta
+
+
+def chebyshev_beta(nx: int, gamma: float = 7.35, scale: float = 5.0, dtype=jnp.float32):
+    """β(x) = scale·cos(γ·acos x) on a uniform [0, 1] grid of nx points."""
+    x = jnp.linspace(0.0, 1.0, nx)
+    return (scale * jnp.cos(gamma * jnp.arccos(x))).astype(dtype)

@@ -1,0 +1,63 @@
+"""Gymnasium adapter: reference kwargs API + registered IDs work unmodified."""
+
+import numpy as np
+import gymnasium as gym
+
+import pdecontrolgym_tpu  # noqa: F401  (registers env IDs)
+from pdecontrolgym_tpu.rewards import TunedReward1D
+
+
+def _params(T=1.0, dt=1e-4, dx=1e-2):
+    return {
+        "T": T,
+        "dt": dt,
+        "X": 1.0,
+        "dx": dx,
+        "reward_class": TunedReward1D(int(round(T / dt)), -1e3, 3e2),
+        "normalize": False,
+        "sensing_loc": "full",
+        "control_type": "Dirchilet",
+        "sensing_type": None,
+        "sensing_noise_func": lambda state: state,
+        "limit_pde_state_size": True,
+        "max_state_value": 1e10,
+        "max_control_value": 20,
+        "reset_init_condition_func": lambda nx: np.ones(nx, np.float32) * 2,
+        "reset_recirculation_func": lambda nx: np.zeros(nx, np.float32),
+        "control_sample_rate": 0.1,
+    }
+
+
+def test_gym_make_transport_five_tuple():
+    env = gym.make("PDEControlGym-TransportPDE1D", **_params())
+    obs, info = env.reset()
+    assert obs.shape == (100,)
+    assert isinstance(info, dict)
+    total = 0.0
+    for _ in range(10):
+        obs, rew, term, trunc, info = env.step(np.float32(0.1))
+        total += rew
+        if term or trunc:
+            break
+    assert term  # T=1, rate 0.1 -> exactly 10 agent steps
+    assert np.isfinite(total)
+
+
+def test_reset_without_callbacks_raises_reference_message():
+    env = gym.make("PDEControlGym-TransportPDE1D", **{**_params(), "reset_init_condition_func": None})
+    try:
+        env.reset()
+        raised = False
+    except Exception as e:
+        raised = "initial condition" in str(e)
+    assert raised
+
+
+def test_spaces_match_reference_shapes():
+    env = gym.make("PDEControlGym-TransportPDE1D", **_params()).unwrapped
+    assert env.observation_space.shape == (100,)
+    assert env.action_space.shape == (1,)
+    env2 = gym.make(
+        "PDEControlGym-TransportPDE1D", **{**_params(), "sensing_loc": "collocated"}
+    ).unwrapped
+    assert env2.observation_space.shape == (1,)
