@@ -26,7 +26,12 @@ from gymnasium import spaces
 import jax
 import jax.numpy as jnp
 
+from pdecontrolgym_tpu.envs.burgers import BurgersConfig, BurgersEnv
 from pdecontrolgym_tpu.envs.common import Boundary1DConfig
+from pdecontrolgym_tpu.envs.reaction_diffusion import (
+    ReactionDiffusionConfig,
+    ReactionDiffusionEnv,
+)
 from pdecontrolgym_tpu.envs.transport import TransportEnv
 from pdecontrolgym_tpu.rewards.base import BaseReward
 from pdecontrolgym_tpu.rewards.tuned import TunedReward1D
@@ -53,7 +58,8 @@ class Boundary1DGymEnv(gym.Env):
     """Shared Gymnasium wrapper for the 1D boundary-control family."""
 
     functional_cls = None
-    ghost_point = False  # parabolic state is nx+1 (parabolic.py:123-124)
+    config_cls = Boundary1DConfig
+    default_control_sample_rate = 0.1  # hyperbolic.py:34 / parabolic.py:34
 
     def __init__(
         self,
@@ -66,20 +72,23 @@ class Boundary1DGymEnv(gym.Env):
         limit_pde_state_size: bool = False,
         max_state_value: float = 1e10,
         max_control_value: float = 20,
-        control_sample_rate: float = 0.1,
+        control_sample_rate: float = None,
         T: float = 5.0,
         dt: float = 1e-4,
         X: float = 1.0,
         dx: float = 1e-2,
         reward_class: Type[BaseReward] = None,
         normalize: bool = False,
+        **extra_config,
     ):
         super().__init__()
         self.sensing_noise_func = sensing_noise_func or (lambda s: s)
         self.reset_init_condition_func = reset_init_condition_func
         self.reset_recirculation_func = reset_recirculation_func
 
-        cfg = Boundary1DConfig(
+        if control_sample_rate is None:
+            control_sample_rate = self.default_control_sample_rate
+        cfg = self.config_cls(
             T=T,
             dt=dt,
             X=X,
@@ -92,6 +101,7 @@ class Boundary1DGymEnv(gym.Env):
             max_control_value=max_control_value,
             control_sample_rate=control_sample_rate,
             normalize=normalize,
+            **extra_config,
         )
         self.config = cfg
         self._legacy_reward = _is_legacy_reward(reward_class)
@@ -197,3 +207,29 @@ class TransportPDE1D(Boundary1DGymEnv):
     """Gymnasium-facing 1D transport env (API parity with ``hyperbolic.py:8``)."""
 
     functional_cls = TransportEnv
+
+
+class ReactionDiffusionPDE1D(Boundary1DGymEnv):
+    """Gymnasium-facing 1D reaction-diffusion env (parity with ``parabolic.py:8``).
+
+    Extra TPU-only kwargs: ``scheme`` ("explicit"|"implicit") and ``theta``.
+    The reset IC callable receives ``nx`` and must return ``nx+1`` values
+    (ghost-point grid), exactly as in the reference examples
+    (``reactionDiffusion1DBackstepping.py:42-48``).
+    """
+
+    functional_cls = ReactionDiffusionEnv
+    config_cls = ReactionDiffusionConfig
+    default_control_sample_rate = 1e-4
+
+
+class BurgersPDE1D(Boundary1DGymEnv):
+    """Gymnasium-facing 1D Burgers env (TPU-only; BASELINE config 2).
+
+    Extra kwarg: ``viscosity``. The reset recirculation callable is unused by
+    the dynamics (kept for API uniformity; pass ``lambda nx: np.zeros(nx)``).
+    """
+
+    functional_cls = BurgersEnv
+    config_cls = BurgersConfig
+    default_control_sample_rate = 0.01

@@ -1,0 +1,66 @@
+"""1D Burgers (nonlinear hyperbolic) PDE with boundary control.
+
+``u_t + (u²/2)_x = ν·u_xx`` on x ∈ [0, X], controlled at x = X.
+
+This env has no counterpart in the reference package — it is required by the
+TPU benchmark suite (BASELINE.json config 2: "1D Burgers, Dirichlet boundary
+control, nx=256") — so the scheme is chosen for robustness rather than parity:
+a first-order finite-volume update with the Rusanov (local Lax-Friedrichs)
+flux, which handles shock formation gracefully, plus optional explicit viscous
+diffusion. The env plugs into the same Boundary1DEnv machinery (control
+zero-order hold, norm ring, TunedReward compatibility, sensing variants).
+
+Left boundary: zero-gradient outflow (``u[0] = u[1]``). Right boundary:
+Dirichlet (the action) or Neumann (action·dx + u[-2]).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from pdecontrolgym_tpu.envs.common import Boundary1DConfig, Boundary1DEnv
+
+
+@dataclasses.dataclass(frozen=True)
+class BurgersConfig(Boundary1DConfig):
+    T: float = 1.0
+    dt: float = 1e-4
+    X: float = 1.0
+    dx: float = 1.0 / 256.0
+    control_sample_rate: float = 0.01
+    viscosity: float = 1e-3
+
+
+class BurgersEnv(Boundary1DEnv):
+    def _advance(self, u_prev, beta, control):
+        c = self.config
+        dt, dx = c.dtype(c.dt), c.dtype(c.dx)
+        nu = c.dtype(c.viscosity)
+        boundary = self._control_fn(control, u_prev[-2])
+
+        # Rusanov flux at the nx-1 interior faces.
+        ul, ur = u_prev[:-1], u_prev[1:]
+        fl, fr = 0.5 * ul * ul, 0.5 * ur * ur
+        amax = jnp.maximum(jnp.abs(ul), jnp.abs(ur))
+        flux = 0.5 * (fl + fr) - 0.5 * amax * (ur - ul)
+
+        interior = u_prev[1:-1] - dt / dx * (flux[1:] - flux[:-1])
+        if c.viscosity:
+            interior = interior + nu * dt / (dx * dx) * (
+                u_prev[:-2] - 2.0 * u_prev[1:-1] + u_prev[2:]
+            )
+        left = interior[0]  # zero-gradient outflow
+        u_new = jnp.concatenate([left[None], interior, boundary[None]])
+        return u_new, boundary
+
+    def default_ic(self, key):
+        """Smooth random IC: height·sin(πx) with height ~ U(0.5, 2)."""
+        c = self.config
+        height = jax.random.uniform(key, (), c.dtype, 0.5, 2.0)
+        x = jnp.linspace(0.0, 1.0, self.state_dim)
+        u0 = (height * jnp.sin(jnp.pi * x)).astype(c.dtype)
+        beta = jnp.zeros((self.state_dim,), c.dtype)
+        return u0, beta

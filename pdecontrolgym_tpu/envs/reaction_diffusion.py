@@ -1,0 +1,105 @@
+"""1D reaction-diffusion (parabolic) PDE with boundary control.
+
+PDE: ``u_t = u_xx + β(x) u`` on x ∈ [0, X], fixed ``u(0,t) = 0``, controlled at
+x = X. The state carries a ghost point: ``state_dim = nx + 1``
+(``parabolic.py:123-124``), so full-state observations have nx+1 entries.
+
+Two schemes:
+
+- ``explicit`` (reference parity, ``parabolic.py:141-151``): FTCS with Fourier
+  number ``F = dt/dx²``; the interior uses the previous row, ``u[0] = 0``, and
+  the boundary is written from the control using the *previous* row's ``[-2]``
+  entry for the Neumann neighbor (``parabolic.py:148-150`` — unlike transport,
+  which reads the new row).
+- ``implicit`` (TPU-only capability; BASELINE config 3): θ-scheme
+  (θ=1 backward Euler, θ=0.5 Crank-Nicolson) on both diffusion and reaction,
+  solved per sub-step by a batched tridiagonal solve (``ops/tridiag``). Stable
+  for any ``dt``, so far fewer sub-steps are needed per control interval.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from pdecontrolgym_tpu.envs.common import Boundary1DConfig, Boundary1DEnv
+from pdecontrolgym_tpu.ops.tridiag import thomas
+
+
+@dataclasses.dataclass(frozen=True)
+class ReactionDiffusionConfig(Boundary1DConfig):
+    T: float = 1.0
+    dt: float = 1e-5
+    dx: float = 5e-3
+    control_sample_rate: float = 1e-4  # parabolic.py:34 default
+    scheme: str = "explicit"  # "explicit" (parity) or "implicit"
+    theta: float = 1.0  # implicit only: 1.0 = backward Euler, 0.5 = CN
+
+
+class ReactionDiffusionEnv(Boundary1DEnv):
+    left_dirichlet_fixed_zero = True  # parabolic.py:85,114
+
+    def __init__(self, config, reward, ic_sampler=None, noise_fn=None):
+        super().__init__(config, reward, ic_sampler, noise_fn)
+        if getattr(config, "scheme", "explicit") not in ("explicit", "implicit"):
+            raise ValueError(f"Invalid scheme {config.scheme!r}")
+
+    @property
+    def state_dim(self) -> int:
+        return self.config.nx + 1  # ghost point
+
+    def _advance(self, u_prev, beta, control):
+        c = self.config
+        boundary = self._control_fn(control, u_prev[-2])
+        if getattr(c, "scheme", "explicit") == "implicit":
+            u_new = self._implicit_interior(u_prev, beta, boundary)
+        else:
+            F = c.dtype(c.dt / c.dx**2)
+            dt = c.dtype(c.dt)
+            interior = (
+                u_prev[1:-1]
+                + F * (u_prev[:-2] - 2.0 * u_prev[1:-1] + u_prev[2:])
+                + dt * beta[1:-1] * u_prev[1:-1]
+            )
+            u_new = jnp.concatenate(
+                [jnp.zeros((1,), c.dtype), interior, boundary[None]]
+            )
+        return u_new, boundary
+
+    def _implicit_interior(self, u_prev, beta, boundary):
+        """One θ-scheme sub-step: (I − θ·dt·L) u⁺ = (I + (1−θ)·dt·L) u with
+        L = ∂²/∂x² + diag(β), Dirichlet rows pinned to u(0)=0 and u(X)=control."""
+        c = self.config
+        n = self.state_dim
+        dt, th = c.dtype(c.dt), c.dtype(c.theta)
+        F = c.dtype(c.dt / c.dx**2)
+
+        lower = jnp.full((n,), -th * F, c.dtype)
+        upper = jnp.full((n,), -th * F, c.dtype)
+        diag = 1.0 + th * (2.0 * F - dt * beta)
+        # explicit part of the operator
+        expl = (1.0 - th) * (
+            F * (jnp.roll(u_prev, 1) - 2.0 * u_prev + jnp.roll(u_prev, -1))
+            + dt * beta * u_prev
+        )
+        rhs = u_prev + expl
+        # pin boundary rows: u[0] = 0, u[-1] = boundary
+        edge = jnp.zeros((n,), c.dtype).at[0].set(1.0).at[-1].set(1.0)
+        lower = jnp.where(edge > 0, 0.0, lower)
+        upper = jnp.where(edge > 0, 0.0, upper)
+        diag = jnp.where(edge > 0, 1.0, diag)
+        rhs = rhs.at[0].set(0.0).at[-1].set(boundary)
+        return thomas(lower, diag, upper, rhs)
+
+    def default_ic(self, key):
+        """Flat IC of height U(1,10) and β(x) = 50·cos(8·acos x) on the
+        ghost-point grid (``reactionDiffusion1DBackstepping.py:42-48``)."""
+        c = self.config
+        height = jax.random.uniform(key, (), c.dtype, 1.0, 10.0)
+        u0 = jnp.full((self.state_dim,), height, c.dtype)
+        x = jnp.linspace(0.0, 1.0, self.state_dim)
+        beta = (50.0 * jnp.cos(8.0 * jnp.arccos(x))).astype(c.dtype)
+        return u0, beta

@@ -1,0 +1,163 @@
+"""Reaction-diffusion parity (explicit FTCS vs reference) and the TPU-only
+implicit tridiagonal path (accuracy vs the heat-equation analytic solution)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pdecontrolgym_tpu.envs.reaction_diffusion import (
+    ReactionDiffusionConfig,
+    ReactionDiffusionEnv,
+)
+from pdecontrolgym_tpu.rewards.tuned import TunedReward1D
+from pdecontrolgym_tpu.agents.backstepping import parabolic_control, parabolic_kernel
+from pdecontrolgym_tpu.ops.tridiag import pcr, thomas
+
+from reference_loader import load_reference_module
+
+T, DT, DX, X = 0.05, 1e-5, 5e-3, 1.0
+NX = int(round(X / DX))  # 200; state dim 201
+RATE = 1e-3  # 100 sub-steps per action
+
+
+def _beta(nx):
+    x = np.linspace(0, 1, nx + 1)
+    return (50 * np.cos(8 * np.arccos(x))).astype(np.float32)
+
+
+def _ref_env(u0, control_type="Dirchilet"):
+    parabolic = load_reference_module("pde_control_gym.src.environments1d.parabolic")
+    tuned = load_reference_module("pde_control_gym.src.rewards.tuned_reward_1d")
+    return parabolic.ReactionDiffusionPDE1D(
+        T=T, dt=DT, X=X, dx=DX,
+        reward_class=tuned.TunedReward1D(int(round(T / DT)), -1e3, 3e2),
+        normalize=False, sensing_loc="full", control_type=control_type,
+        sensing_type="Neumann", sensing_noise_func=lambda s: s,
+        limit_pde_state_size=True, max_state_value=1e10, max_control_value=20,
+        reset_init_condition_func=lambda nx: u0,
+        reset_recirculation_func=_beta,
+        control_sample_rate=RATE,
+    )
+
+
+def _tpu_env(control_type="Dirchilet", **kw):
+    cfg = ReactionDiffusionConfig(
+        T=T, dt=DT, X=X, dx=DX, control_type=control_type,
+        sensing_type="Neumann", limit_pde_state_size=True,
+        control_sample_rate=RATE, **kw,
+    )
+    return ReactionDiffusionEnv(cfg, TunedReward1D(int(round(T / DT)), -1e3, 3e2))
+
+
+@pytest.mark.parametrize("control_type", ["Dirchilet", "Neumann"])
+def test_explicit_parity(control_type):
+    rng = np.random.default_rng(1)
+    u0 = np.full(NX + 1, 2.0, np.float32)
+    controls = rng.uniform(-0.5, 0.5, size=12).astype(np.float32)
+
+    ref = _ref_env(u0, control_type)
+    robs, _ = ref.reset()
+    env = _tpu_env(control_type)
+    step = jax.jit(env.step)
+    state, tobs = env.init_from(u0, _beta(NX))
+    np.testing.assert_allclose(robs, np.asarray(tobs), atol=1e-6)
+
+    for c in controls:
+        robs, rrew, rterm, rtrunc, _ = ref.step(np.float32(c))
+        state, out = step(state, jnp.float32(c))
+        scale = max(1.0, np.abs(robs).max())
+        np.testing.assert_allclose(robs, np.asarray(out.obs), atol=2e-3 * scale)
+        np.testing.assert_allclose(rrew, float(out.reward), rtol=5e-3, atol=5e-3)
+        assert (rterm, rtrunc) == (bool(out.terminated), bool(out.truncated))
+
+
+def test_closed_loop_goursat_backstepping_stabilizes_and_matches():
+    u0 = np.full(NX + 1, 4.0, np.float32)
+    spatial = np.linspace(DX, X, NX + 1)
+    beta_k = (50 * np.cos(8 * np.arccos(spatial))).astype(np.float64)
+    krow = np.asarray(parabolic_kernel(jnp.asarray(beta_k), DX))
+
+    ref = _ref_env(u0)
+    obs, _ = ref.reset()
+    ref_total, term, trunc = 0.0, False, False
+    while not (term or trunc):
+        a = float(np.sum(krow[: len(obs) - 1] * obs[:-1]) * DX)
+        obs, r, term, trunc, _ = ref.step(np.float32(a))
+        ref_total += r
+
+    env = _tpu_env()
+    step = jax.jit(env.step)
+    state, tobs = env.init_from(u0, _beta(NX))
+    tpu_total, done = 0.0, False
+    while not done:
+        a = parabolic_control(jnp.asarray(krow, jnp.float32), tobs, DX)
+        state, out = step(state, a)
+        tobs = out.obs
+        tpu_total += float(out.reward)
+        done = bool(out.terminated) or bool(out.truncated)
+
+    np.testing.assert_allclose(np.asarray(tobs), obs, atol=2e-3 * max(1.0, np.abs(obs).max()))
+    assert abs(ref_total - tpu_total) < 0.05 * max(1.0, abs(ref_total))
+
+
+def test_implicit_matches_heat_equation_analytics():
+    """β=0, u0=sin(πx), zero control: u(x,t)=exp(−π²t)·sin(πx)."""
+    nx = 200
+    cfg = ReactionDiffusionConfig(
+        T=0.05, dt=1e-4, X=1.0, dx=5e-3, control_sample_rate=0.01,
+        scheme="implicit", theta=0.5,
+    )
+    env = ReactionDiffusionEnv(cfg, TunedReward1D(500))
+    x = np.linspace(0, 1, nx + 1)
+    u0 = np.sin(np.pi * x).astype(np.float32)
+    state, _ = env.init_from(u0, np.zeros(nx + 1, np.float32))
+    step = jax.jit(env.step)
+    for _ in range(5):  # 5 * 100 sub-steps * 1e-4 = t = 0.05
+        state, out = step(state, jnp.float32(0.0))
+    expected = np.exp(-np.pi**2 * 0.05) * np.sin(np.pi * x)
+    np.testing.assert_allclose(np.asarray(state.u), expected, atol=2e-3)
+
+
+def test_implicit_stable_where_explicit_blows_up():
+    """dt 40x beyond the FTCS stability bound: explicit diverges, BE doesn't."""
+    kw = dict(T=0.1, dt=5e-4, X=1.0, dx=5e-3, control_sample_rate=5e-3)
+    x = np.linspace(0, 1, 201)
+    u0 = np.sin(np.pi * x).astype(np.float32)
+    beta = np.zeros(201, np.float32)
+
+    env_i = ReactionDiffusionEnv(
+        ReactionDiffusionConfig(**kw, scheme="implicit", theta=1.0), TunedReward1D(200)
+    )
+    state, _ = env_i.init_from(u0, beta)
+    step = jax.jit(env_i.step)
+    for _ in range(3):
+        state, _ = step(state, jnp.float32(0.0))
+    assert np.isfinite(np.asarray(state.u)).all()
+    assert np.abs(np.asarray(state.u)).max() < 1.0
+
+    env_e = ReactionDiffusionEnv(
+        ReactionDiffusionConfig(**kw, scheme="explicit"), TunedReward1D(200)
+    )
+    state, _ = env_e.init_from(u0, beta)
+    step = jax.jit(env_e.step)
+    for _ in range(3):
+        state, _ = step(state, jnp.float32(0.0))
+    assert not np.isfinite(np.asarray(state.u)).all() or np.abs(np.asarray(state.u)).max() > 1e3
+
+
+def test_tridiag_solvers_agree_with_dense():
+    rng = np.random.default_rng(3)
+    n, batch = 64, 5
+    lower = rng.uniform(0.1, 1.0, (batch, n))
+    upper = rng.uniform(0.1, 1.0, (batch, n))
+    diag = 4.0 + rng.uniform(0, 1, (batch, n))  # diagonally dominant
+    rhs = rng.normal(size=(batch, n))
+    x_thomas = np.asarray(thomas(lower, diag, upper, rhs))
+    x_pcr = np.asarray(pcr(lower, diag, upper, rhs))
+    for b in range(batch):
+        A = np.diag(diag[b]) + np.diag(lower[b][1:], -1) + np.diag(upper[b][:-1], 1)
+        expect = np.linalg.solve(A, rhs[b])
+        np.testing.assert_allclose(x_thomas[b], expect, rtol=1e-8, atol=1e-8)
+        np.testing.assert_allclose(x_pcr[b], expect, rtol=1e-6, atol=1e-8)
