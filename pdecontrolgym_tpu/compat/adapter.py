@@ -32,6 +32,7 @@ from pdecontrolgym_tpu.envs.reaction_diffusion import (
     ReactionDiffusionConfig,
     ReactionDiffusionEnv,
 )
+from pdecontrolgym_tpu.envs.traffic_arz import TrafficARZConfig, TrafficARZEnv
 from pdecontrolgym_tpu.envs.transport import TransportEnv
 from pdecontrolgym_tpu.rewards.base import BaseReward
 from pdecontrolgym_tpu.rewards.tuned import TunedReward1D
@@ -221,6 +222,146 @@ class ReactionDiffusionPDE1D(Boundary1DGymEnv):
     functional_cls = ReactionDiffusionEnv
     config_cls = ReactionDiffusionConfig
     default_control_sample_rate = 1e-4
+
+
+class TrafficPDE1D(gym.Env):
+    """Gymnasium-facing ARZ traffic env (API parity with ``traffic_arz_env.py:8``).
+
+    Exposes the attributes the reference tutorial's backstepping controller
+    reads (``docs/source/tutorials/Trafficarz1d_tutorial.rst:160-186``):
+    ``qs, vs, rs, vm, rm, ps, tau, L, dx, v, r, simulation_type``.
+    """
+
+    def __init__(
+        self,
+        simulation_type: str = "inlet",
+        v_steady: float = 10,
+        ro_steady: float = 0.12,
+        v_max: float = 40,
+        ro_max: float = 0.16,
+        tau: float = 60,
+        limit_pde_state_size: bool = False,
+        control_freq: int = 1,
+        T: float = 240.0,
+        dt: float = 0.25,
+        X: float = 500.0,
+        dx: float = 10.0,
+        reward_class=None,
+        normalize: bool = False,
+        verbose: bool = True,
+        seed: int = 0,
+    ):
+        super().__init__()
+        if not (isinstance(control_freq, int) and control_freq >= 1):
+            raise AssertionError(
+                f"control_freq must be a positive integer (got {control_freq} "
+                f"of type {type(control_freq).__name__})"
+            )
+        from pdecontrolgym_tpu.rewards.traffic import TrafficARZReward
+
+        reward = reward_class or TrafficARZReward()
+        self._legacy_reward = _is_legacy_reward(reward) and not isinstance(
+            reward, TrafficARZReward
+        )
+        cfg = TrafficARZConfig(
+            T=T, dt=dt, X=X, dx=dx,
+            simulation_type=simulation_type,
+            v_steady=v_steady, ro_steady=ro_steady,
+            v_max=v_max, ro_max=ro_max, tau=tau,
+            limit_pde_state_size=limit_pde_state_size,
+            control_freq=control_freq, normalize=normalize,
+        )
+        self.config = cfg
+        env_reward = TrafficARZReward() if self._legacy_reward else reward
+        self.reward_class = reward
+        self.fenv = TrafficARZEnv(cfg, env_reward)
+
+        banners = {
+            "outlet": "Case 1: Outlet Boundary Control",
+            "inlet": "Case 2: Inlet Boundary Control",
+            "both": "Case 3: Outlet & Inlet Boundary Control",
+            "inlet-train": "Case 4: Inlet training",
+            "outlet-train": "Case 5: Outlet training",
+        }
+        if verbose:
+            print(banners[simulation_type])
+
+        # public attributes mirroring the reference (traffic_arz_env.py:36-88)
+        self.simulation_type = simulation_type
+        self.vm, self.rm = v_max, ro_max
+        self.qm = v_max * ro_max / 4
+        self.tau = tau
+        self.T, self.dt, self.X, self.dx = T, dt, X, dx
+        self.L = X
+        self.M = cfg.M
+        self.nt = int(round(T / dt) + 1)
+        self.nx = int(round(X / dx))
+        rs, vs, qs = cfg.nominal_steady()
+        self.rs, self.vs, self.qs = rs, vs, qs
+        self.ps = self.fenv.ps
+        if verbose:
+            print("Steady state density, velocity: ", self.rs, ",", self.vs)
+
+        if simulation_type == "outlet-train":
+            self.observation_space = spaces.Box(
+                low=-10, high=10, shape=(2 * self.M,), dtype=np.float64
+            )
+        else:
+            self.observation_space = spaces.Box(
+                low=0, high=40, shape=(2 * self.M,), dtype=np.float64
+            )
+        adim = 2 if simulation_type == "both" else 1
+        self.action_space = spaces.Box(
+            dtype=np.float64, low=qs * 0.8, high=1.2 * qs, shape=(adim,)
+        )
+
+        self._key = jax.random.key(seed)
+        self._jit_init = jax.jit(self.fenv.init)
+        self._jit_step = jax.jit(self.fenv.step)
+        self._state, obs = self._jit_init(self._next_key())
+        self.time_index = 0
+        self.info = {"V": np.asarray(self.fenv._velocity(self._state)).reshape(-1, 1)}
+
+    def _next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    @property
+    def r(self):
+        return np.asarray(self._state.r).reshape(-1, 1)
+
+    @property
+    def v(self):
+        return np.asarray(self.fenv._velocity(self._state)).reshape(-1, 1)
+
+    def reset(self, seed: Optional[int] = None, options: Optional[dict] = None):
+        if seed is not None:
+            self._key = jax.random.key(seed)
+        self._state, obs = self._jit_init(self._next_key())
+        if self.config.is_train:
+            self.rs = float(self._state.rs)
+            self.vs = float(self._state.vs)
+            self.qs = float(self._state.qs)
+        self.time_index = 0
+        return np.asarray(obs, np.float64), {}
+
+    def step(self, action):
+        self._state, out = self._jit_step(
+            self._state, jnp.asarray(np.asarray(action, np.float64).reshape(-1))
+        )
+        self.time_index = float(self._state.time_index)
+        reward = float(out.reward)
+        if self._legacy_reward:
+            reward = float(
+                self.reward_class.reward(self.vs, self.rs, self.v, self.r)
+            )
+        return (
+            np.asarray(out.obs, np.float64),
+            reward,
+            bool(out.terminated),
+            bool(out.truncated),
+            {"V": self.v},
+        )
 
 
 class BurgersPDE1D(Boundary1DGymEnv):

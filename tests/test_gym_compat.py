@@ -61,3 +61,22 @@ def test_spaces_match_reference_shapes():
         "PDEControlGym-TransportPDE1D", **{**_params(), "sensing_loc": "collocated"}
     ).unwrapped
     assert env2.observation_space.shape == (1,)
+
+
+def test_gym_make_traffic():
+    env = gym.make(
+        "PDEControlGym-TrafficPDE1D",
+        T=240.0, dt=0.25, X=500.0, dx=10.0,
+        simulation_type="outlet", v_steady=10, ro_steady=0.12,
+        v_max=40, ro_max=0.16, tau=60, verbose=False,
+    )
+    obs, info = env.reset()
+    assert obs.shape == (102,)
+    u = env.unwrapped
+    assert u.action_space.shape == (1,)
+    assert np.isclose(u.action_space.low[0], 0.8 * 1.2)
+    obs, rew, term, trunc, info = env.step(np.array([1.2]))
+    assert "V" in info and np.isfinite(rew)
+    # tutorial-visible attributes
+    for attr in ("qs", "vs", "rs", "vm", "rm", "ps", "tau", "L", "v", "r"):
+        assert hasattr(u, attr)
