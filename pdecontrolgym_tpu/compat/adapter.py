@@ -32,6 +32,11 @@ from pdecontrolgym_tpu.envs.reaction_diffusion import (
     ReactionDiffusionConfig,
     ReactionDiffusionEnv,
 )
+from pdecontrolgym_tpu.envs.navier_stokes import (
+    NavierStokesConfig,
+    NavierStokesEnv,
+    freeze_boundary_condition,
+)
 from pdecontrolgym_tpu.envs.traffic_arz import TrafficARZConfig, TrafficARZEnv
 from pdecontrolgym_tpu.envs.transport import TransportEnv
 from pdecontrolgym_tpu.rewards.base import BaseReward
@@ -362,6 +367,145 @@ class TrafficPDE1D(gym.Env):
             bool(out.truncated),
             {"V": self.v},
         )
+
+
+class NavierStokes2D(gym.Env):
+    """Gymnasium-facing 2D Navier-Stokes env (API parity with
+    ``navier_stokes2D.py:24``). Exposes the attributes/methods the reference
+    examples rely on: ``u, v, p, U`` (episode history), ``solve_pressure``,
+    the meshgrid ``X``/``Y``, and reset via ``reset_init_condition_func(X)``.
+    """
+
+    def __init__(
+        self,
+        reset_init_condition_func: Callable = None,
+        boundary_condition: dict = None,
+        U_ref=None,
+        action_ref=None,
+        viscosity: float = 0.1,
+        density: float = 1.0,
+        maximum_pressure_iteration: int = 2000,
+        stable_factor: float = 0.5,
+        T: float = 0.2,
+        dt: float = 1e-3,
+        X: float = 1.0,
+        dx: float = 0.05,
+        Y: float = 1.0,
+        dy: float = 0.05,
+        action_dim: int = 1,
+        reward_class=None,
+        normalize: bool = False,
+    ):
+        super().__init__()
+        from pdecontrolgym_tpu.rewards.ns import NSReward
+
+        self.reset_init_condition_func = reset_init_condition_func
+        bc = freeze_boundary_condition(
+            boundary_condition
+            if boundary_condition is not None
+            else {
+                "upper": ["Controllable", "Dirchilet"],
+                "lower": ["Dirchilet", "Dirchilet"],
+                "left": ["Dirchilet", "Dirchilet"],
+                "right": ["Dirchilet", "Dirchilet"],
+            }
+        )
+        cfg = NavierStokesConfig(
+            T=T, dt=dt, X=X, dx=dx, Y=Y, dy=dy,
+            action_dim=action_dim,
+            viscosity=viscosity, density=density,
+            maximum_pressure_iteration=int(maximum_pressure_iteration),
+            stable_factor=stable_factor,
+            normalize=normalize,
+            boundary_condition=bc,
+        )
+        self.config = cfg
+        reward = reward_class or NSReward(0.1)
+        self._legacy_reward = _is_legacy_reward(reward) and not isinstance(
+            reward, NSReward
+        )
+        if U_ref is None:
+            U_ref = np.zeros((cfg.nt, cfg.nx, cfg.ny, 2))
+        if action_ref is None:
+            action_ref = np.zeros(cfg.nt)
+        env_reward = NSReward(0.1) if self._legacy_reward else reward
+        self.reward_class = reward
+        self._U_ref_np = np.asarray(U_ref)
+        self._action_ref_np = np.asarray(action_ref)
+        self.fenv = NavierStokesEnv(cfg, env_reward, U_ref, action_ref)
+
+        # reference public attributes (base_env_2d.py:26-51)
+        self.nt, self.nx, self.ny = cfg.nt, cfg.nx, cfg.ny
+        self.dt, self.dx, self.dy = dt, dx, dy
+        self.x = np.linspace(0, X, cfg.nx)
+        self.y = np.linspace(0, Y, cfg.ny)
+        self.X, self.Y = np.meshgrid(self.x, self.y)  # meshgrid overwrite quirk
+        self.observation_space = spaces.Box(
+            np.full((cfg.nx, cfg.ny, 2), -np.inf, dtype="float32"),
+            np.full((cfg.nx, cfg.ny, 2), np.inf, dtype="float32"),
+        )
+        self.action_space = spaces.Box(
+            low=-1.0, high=1.0, shape=(action_dim,), dtype=np.float32
+        )
+        self.U = np.zeros((cfg.nt, cfg.nx, cfg.ny, 2))
+        self.time_index = 0
+        self._jit_step = jax.jit(self.fenv.step)
+        self._jit_pressure = jax.jit(self.fenv.solve_pressure)
+        self._state = None
+
+    @property
+    def u(self):
+        return np.asarray(self._state.u)
+
+    @property
+    def v(self):
+        return np.asarray(self._state.v)
+
+    @property
+    def p(self):
+        return np.asarray(self._state.p)
+
+    def solve_pressure(self, u, v, p_prev):
+        """Generic fixed-iteration Poisson solve, reused by the adjoint
+        optimization example (``NS2Doptimization.py:97``)."""
+        return np.asarray(
+            self._jit_pressure(jnp.asarray(u), jnp.asarray(v), jnp.asarray(p_prev))
+        )
+
+    def terminate(self):
+        return self.time_index >= self.nt - 1
+
+    def reset(self, seed: Optional[int] = None, options: Optional[dict] = None):
+        try:
+            init_u, init_v, init_p = self.reset_init_condition_func(self.X)
+        except Exception:
+            raise Exception(
+                "Please pass both an initial condition and a recirculation "
+                "function in the parameters dictionary. See documentation for "
+                "more details"
+            )
+        self._state, obs = jax.jit(self.fenv.init_from)(
+            jnp.asarray(init_u), jnp.asarray(init_v), jnp.asarray(init_p)
+        )
+        self.time_index = 0
+        self.U = np.zeros((self.nt, self.nx, self.ny, 2))
+        self.U[0] = np.asarray(obs)
+        return np.asarray(obs), {}
+
+    def step(self, action):
+        a = np.asarray(action, dtype=np.float64).reshape(-1)
+        self._state, out = self._jit_step(self._state, jnp.asarray(a))
+        self.time_index = int(self._state.time_index)
+        obs = np.asarray(out.obs)
+        self.U[self.time_index] = obs
+        terminate = bool(out.terminated)
+        if self._legacy_reward:
+            reward = self.reward_class.reward(
+                self.U, self.time_index, self._U_ref_np, a, self._action_ref_np
+            )
+        else:
+            reward = float(out.reward)
+        return obs, reward, terminate, False, {}
 
 
 class BurgersPDE1D(Boundary1DGymEnv):

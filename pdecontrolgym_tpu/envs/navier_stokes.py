@@ -1,0 +1,240 @@
+"""2D incompressible Navier-Stokes with per-edge boundary control.
+
+Chorin projection scheme with parity to ``src/environments2d/navier_stokes2D.py``:
+
+1. explicit predictor ``u* = u + dt(−u·∇u + ν∇²u)`` (:137-138),
+2. per-edge boundary application in the fixed order lower/upper/left/right ×
+   (u, v), each edge Neumann (copy inner neighbor) / Dirichlet (zero) /
+   Controllable (the action) (:68-91),
+3. pressure-Poisson solve by fixed-iteration Jacobi (:94-116),
+4. corrector ``u' = u* − dt/ρ·∇p`` + boundary re-application (:144-146).
+
+Grid conventions copied from ``base_env_2d.py:27-36``: ``nt = round(T/dt)``,
+``nx = round(X/dx + 1)``; fields are indexed ``[y, x]`` (the reference's
+"x" derivative varies the last axis); the episode runs nt−1 steps.
+
+The construction-time diffusion stability guard (:56-58) is preserved,
+including its message. The ``U_ref``/``action_ref`` tracking targets live on
+device as env constants.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from pdecontrolgym_tpu.core.base import FunctionalEnv, RewardCtx, StepOut
+from pdecontrolgym_tpu.ops.poisson2d import ddx, ddy, jacobi_pressure, laplacian
+
+_EDGES = ("lower", "upper", "left", "right")
+_CONDITIONS = ("Neumann", "Dirchilet", "Dirichlet", "Controllable")
+
+
+@dataclasses.dataclass(frozen=True)
+class NavierStokesConfig:
+    T: float = 0.2
+    dt: float = 1e-3
+    X: float = 1.0
+    dx: float = 0.05
+    Y: float = 1.0
+    dy: float = 0.05
+    action_dim: int = 1
+    viscosity: float = 0.1
+    density: float = 1.0
+    maximum_pressure_iteration: int = 2000
+    stable_factor: float = 0.5
+    normalize: bool = False
+    dtype: Any = jnp.float64
+    # per-edge (u_condition, v_condition) ordered (lower, upper, left, right);
+    # default mirrors the examples' dict: controllable lid at the upper edge
+    # (``NS2Dppo.py:21-26``). Use freeze_boundary_condition() to convert a dict.
+    boundary_condition: tuple = (
+        ("Dirchilet", "Dirchilet"),
+        ("Controllable", "Dirchilet"),
+        ("Dirchilet", "Dirchilet"),
+        ("Dirchilet", "Dirchilet"),
+    )
+
+    @property
+    def nt(self) -> int:
+        return int(round(self.T / self.dt))  # base_env_2d.py:27 (no +1)
+
+    @property
+    def nx(self) -> int:
+        return int(round(self.X / self.dx + 1))
+
+    @property
+    def ny(self) -> int:
+        return int(round(self.Y / self.dy + 1))
+
+
+def freeze_boundary_condition(bc: dict) -> tuple:
+    """Normalize the reference's dict format into a hashable config tuple."""
+    out = []
+    for pos in _EDGES:
+        conds = tuple(bc[pos])
+        for c in conds:
+            if c not in _CONDITIONS:
+                raise ValueError(f"Invalid boundary condition {c!r} at {pos!r}")
+        out.append(conds)
+    return tuple(out)
+
+
+@struct.dataclass
+class NavierStokesState:
+    u: jnp.ndarray  # (ny, nx) x-velocity  [row=y, col=x like the reference]
+    v: jnp.ndarray
+    p: jnp.ndarray
+    time_index: jnp.ndarray  # int32
+
+
+class NavierStokesEnv(FunctionalEnv):
+    def __init__(
+        self,
+        config: NavierStokesConfig,
+        reward,
+        U_ref,
+        action_ref,
+        ic_sampler: Optional[Callable] = None,
+    ):
+        c = config
+        max_t = 0.5 * min(c.dx, c.dy) ** 2 / c.viscosity
+        if c.dt > c.stable_factor * max_t:
+            raise RuntimeError("Stability is not guarenteed")  # sic, :58
+        self.config = c
+        self.reward = reward
+        self.U_ref = jnp.asarray(U_ref, c.dtype)
+        self.action_ref = jnp.asarray(action_ref, c.dtype)
+        self.ic_sampler = ic_sampler
+
+    @property
+    def obs_shape(self):
+        return (self.config.nx, self.config.ny, 2)
+
+    @property
+    def action_dim(self):
+        return self.config.action_dim
+
+    # -- boundary application -------------------------------------------------
+
+    def _apply_boundary(self, u, v, action):
+        """Static unroll of the reference's edge loop (:76-91); write order
+        lower, upper, left, right — replicated so corner overwrites match."""
+        act = jnp.asarray(action, self.config.dtype).reshape(-1)
+        a = act[0] if act.shape[0] == 1 else act  # scalar broadcast like ref
+
+        def edge_write(f, pos, value):
+            if pos == "lower":
+                return f.at[0, :].set(value if not callable(value) else value(f[1, :]))
+            if pos == "upper":
+                return f.at[-1, :].set(value if not callable(value) else value(f[-2, :]))
+            if pos == "left":
+                return f.at[:, 0].set(value if not callable(value) else value(f[:, 1]))
+            return f.at[:, -1].set(value if not callable(value) else value(f[:, -2]))
+
+        for pos, conds in zip(_EDGES, self.config.boundary_condition):
+            for i, cond in enumerate(conds):
+                f = u if i == 0 else v
+                if cond == "Neumann":
+                    f = edge_write(f, pos, lambda inner: inner)
+                elif cond == "Controllable":
+                    f = edge_write(f, pos, a)
+                else:  # Dirichlet
+                    f = edge_write(f, pos, 0.0)
+                if i == 0:
+                    u = f
+                else:
+                    v = f
+        return u, v
+
+    # -- protocol -------------------------------------------------------------
+
+    def default_ic(self, key):
+        """u, v, p = independent U(−5,5) constants (``NS2Dppo.py:14-18``)."""
+        c = self.config
+        vals = jax.random.uniform(key, (3,), c.dtype, -5.0, 5.0)
+        shape = (c.ny, c.nx)
+        return (
+            jnp.full(shape, vals[0], c.dtype),
+            jnp.full(shape, vals[1], c.dtype),
+            jnp.full(shape, vals[2], c.dtype),
+        )
+
+    def init(self, key):
+        if self.ic_sampler is not None:
+            u0, v0, p0 = self.ic_sampler(key)
+        else:
+            u0, v0, p0 = self.default_ic(key)
+        return self.init_from(u0, v0, p0)
+
+    def init_from(self, u0, v0, p0):
+        c = self.config
+        state = NavierStokesState(
+            u=jnp.asarray(u0, c.dtype),
+            v=jnp.asarray(v0, c.dtype),
+            p=jnp.asarray(p0, c.dtype),
+            time_index=jnp.asarray(0, jnp.int32),
+        )
+        return state, self._observe(state)
+
+    def _observe(self, state):
+        # obs frame (nx, ny, 2) like U[time_index] (base_env_2d.py:50)
+        return jnp.stack([state.u, state.v], axis=-1)
+
+    def solve_pressure(self, u, v, p_prev, iters: Optional[int] = None):
+        c = self.config
+        return jacobi_pressure(
+            u, v, p_prev, c.dx, c.dy, c.dt, c.density,
+            iters if iters is not None else c.maximum_pressure_iteration,
+        )
+
+    def step(self, state: NavierStokesState, action, key=None):
+        c = self.config
+        u, v, p = state.u, state.v, state.p
+        nu, dt = c.viscosity, c.dt
+
+        dudx, dudy = ddx(u, c.dx), ddy(u, c.dy)
+        dvdx, dvdy = ddx(v, c.dx), ddy(v, c.dy)
+        u_pred = u + dt * (-u * dudx - v * dudy + nu * laplacian(u, c.dx, c.dy))
+        v_pred = v + dt * (-u * dvdx - v * dvdy + nu * laplacian(v, c.dx, c.dy))
+        u_pred, v_pred = self._apply_boundary(u_pred, v_pred, action)
+
+        pressure = self.solve_pressure(u_pred, v_pred, p)
+        u_next = u_pred - dt / c.density * ddx(pressure, c.dx)
+        v_next = v_pred - dt / c.density * ddy(pressure, c.dy)
+        u_next, v_next = self._apply_boundary(u_next, v_next, action)
+
+        t = state.time_index + 1
+        new_state = NavierStokesState(u=u_next, v=v_next, p=pressure, time_index=t)
+        frame = self._observe(new_state)
+        terminated = t >= c.nt - 1
+
+        ctx = RewardCtx(
+            u=frame,
+            time_index=t,
+            executed=jnp.asarray(1, jnp.int32),
+            terminated=terminated,
+            truncated=False,
+            action=jnp.asarray(action, c.dtype),
+            norms=jnp.zeros((1,), c.dtype),
+            bsum=jnp.zeros((), c.dtype),
+            ring=1,
+            extras={
+                "frame": frame,
+                "frame_ref": self.U_ref[t],
+                "action": action,
+                "action_ref": self.action_ref[t],
+            },
+        )
+        reward = self.reward(ctx)
+        return new_state, StepOut(
+            obs=frame,
+            reward=reward,
+            terminated=terminated,
+            truncated=False,
+            info={},
+        )

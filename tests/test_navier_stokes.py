@@ -1,0 +1,147 @@
+"""2D Navier-Stokes parity vs the reference env (f64 oracle, 21x21 grid)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pdecontrolgym_tpu.envs.navier_stokes import (
+    NavierStokesConfig,
+    NavierStokesEnv,
+    freeze_boundary_condition,
+)
+from pdecontrolgym_tpu.rewards.ns import NSReward
+
+from reference_loader import load_reference_module
+
+T, DT = 0.05, 1e-3
+DX = DY = 0.05
+NT = int(round(T / DT))
+N = 21
+
+BC = {
+    "upper": ["Controllable", "Dirchilet"],
+    "lower": ["Dirchilet", "Dirchilet"],
+    "left": ["Dirchilet", "Dirchilet"],
+    "right": ["Dirchilet", "Dirchilet"],
+}
+
+
+def _refs():
+    rng = np.random.default_rng(11)
+    U_ref = rng.normal(size=(NT, N, N, 2)) * 0.1
+    action_ref = 2.0 * np.ones(NT)
+    return U_ref, action_ref
+
+
+def _ic():
+    return (
+        1.5 * np.ones((N, N)),
+        -0.5 * np.ones((N, N)),
+        0.25 * np.ones((N, N)),
+    )
+
+
+def _ref_env(U_ref, action_ref, iters=2000):
+    ns = load_reference_module("pde_control_gym.src.environments2d.navier_stokes2D")
+    rew = load_reference_module("pde_control_gym.src.rewards.ns_reward")
+    return ns.NavierStokes2D(
+        T=T, dt=DT, X=1.0, dx=DX, Y=1.0, dy=DY, action_dim=1,
+        reward_class=rew.NSReward(0.1), normalize=False,
+        reset_init_condition_func=lambda X: _ic(),
+        boundary_condition=BC,
+        U_ref=U_ref, action_ref=action_ref,
+        maximum_pressure_iteration=iters,
+    )
+
+
+def _tpu_env(U_ref, action_ref, iters=2000):
+    cfg = NavierStokesConfig(
+        T=T, dt=DT, X=1.0, dx=DX, Y=1.0, dy=DY, action_dim=1,
+        maximum_pressure_iteration=iters,
+        boundary_condition=freeze_boundary_condition(BC),
+        dtype=jnp.float64,
+    )
+    return NavierStokesEnv(cfg, NSReward(0.1), U_ref, action_ref)
+
+
+@pytest.mark.parametrize("iters", [60, 2000])
+def test_open_loop_parity(iters):
+    U_ref, action_ref = _refs()
+    ref = _ref_env(U_ref, action_ref, iters)
+    robs, _ = ref.reset()
+
+    env = _tpu_env(U_ref, action_ref, iters)
+    u0, v0, p0 = _ic()
+    step = jax.jit(env.step)
+    state, tobs = env.init_from(u0, v0, p0)
+    np.testing.assert_allclose(robs, np.asarray(tobs), atol=1e-12)
+
+    rng = np.random.default_rng(2)
+    steps = 6 if iters == 2000 else NT - 1
+    for i in range(steps):
+        a = rng.uniform(1.0, 3.0)
+        robs, rrew, rterm, rtrunc, _ = ref.step(a)
+        state, out = step(state, jnp.asarray([a]))
+        np.testing.assert_allclose(robs, np.asarray(out.obs), rtol=1e-9, atol=1e-9)
+        np.testing.assert_allclose(rrew, float(out.reward), rtol=1e-9)
+        assert rterm == bool(out.terminated)
+    if iters != 2000:
+        assert rterm  # ran to the horizon
+
+
+def test_stability_guard_matches_reference():
+    U_ref, action_ref = _refs()
+    with pytest.raises(RuntimeError, match="Stability is not guarenteed"):
+        _tpu_env(U_ref, action_ref).__class__(
+            NavierStokesConfig(
+                dt=0.1, boundary_condition=freeze_boundary_condition(BC)
+            ),
+            NSReward(0.1), U_ref, action_ref,
+        )
+
+
+def test_gym_adapter_matches_reference_and_exposes_solver():
+    import gymnasium as gym
+    import pdecontrolgym_tpu  # noqa: F401
+    from pdecontrolgym_tpu.rewards import ns as ns_rewards
+
+    U_ref, action_ref = _refs()
+    env = gym.make(
+        "PDEControlGym-NavierStokes2D",
+        T=T, dt=DT, X=1.0, dx=DX, Y=1.0, dy=DY, action_dim=1,
+        reward_class=ns_rewards.NSReward(0.1), normalize=False,
+        reset_init_condition_func=lambda X: _ic(),
+        boundary_condition=BC, U_ref=U_ref, action_ref=action_ref,
+        maximum_pressure_iteration=80,
+    ).unwrapped
+    ref = _ref_env(U_ref, action_ref, iters=80)
+    robs, _ = ref.reset()
+    tobs, _ = env.reset()
+    np.testing.assert_allclose(robs, tobs, atol=1e-12)
+    for i in range(4):
+        robs, rrew, *_ = ref.step(2.0)
+        tobs, trew, *_ = env.step(np.array([2.0]))
+        np.testing.assert_allclose(robs, tobs, rtol=1e-9, atol=1e-10)
+        np.testing.assert_allclose(rrew, trew, rtol=1e-9)
+    # attributes the adjoint-optimization example touches
+    np.testing.assert_allclose(env.u, ref.u, rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(env.U[: env.time_index + 1],
+                               ref.U[: ref.time_index + 1], rtol=1e-9, atol=1e-10)
+    p = env.solve_pressure(env.u, env.v, env.p)
+    p_ref = ref.solve_pressure(ref.u.copy(), ref.v.copy(), ref.p.copy())
+    np.testing.assert_allclose(p, p_ref, rtol=1e-9, atol=1e-10)
+
+
+def test_batched_vmap_ns():
+    U_ref, action_ref = _refs()
+    env = _tpu_env(U_ref, action_ref, iters=40)
+    B = 4
+    keys = jax.random.split(jax.random.key(0), B)
+    state, obs = jax.jit(jax.vmap(env.init))(keys)
+    assert obs.shape == (B, N, N, 2)
+    actions = jnp.linspace(1.0, 2.0, B)[:, None]
+    state, out = jax.jit(jax.vmap(env.step))(state, actions)
+    assert out.obs.shape == (B, N, N, 2)
+    assert np.isfinite(np.asarray(out.reward)).all()
