@@ -369,6 +369,229 @@ class TrafficPDE1D(gym.Env):
         )
 
 
+class BrainTumor1D(gym.Env):
+    """Gymnasium-facing glioblastoma env (API parity with
+    ``brain_tumor_env.py:8``), including the recorded-metrics attributes the
+    notebook reads (``cDeathDay``, ``t_benchmark``, ``simulationDays``,
+    ``stage``, ``t1_radius_idx_vs_time``, ``dosage_vs_time``)."""
+
+    def __init__(
+        self,
+        t1_detection_threshold: float = 0.8,
+        t2_detection_threshold: float = 0.16,
+        dosage_termination_threshold: float = 0.1,
+        D: float = 0.2,
+        rho: float = 0.03,
+        alpha: float = 0.04,
+        alpha_beta_ratio: float = 10,
+        k: float = 1e5,
+        t1_detection_radius: float = 15,
+        t1_death_radius: float = 35,
+        reset_init_condition_func: Callable = None,
+        total_dosage: float = None,
+        verbose: bool = True,
+        T: float = 600.0,
+        dt: float = 1.0,
+        X: float = 200.0,
+        dx: float = 1.0,
+        reward_class=None,
+        normalize: bool = False,
+    ):
+        super().__init__()
+        from pdecontrolgym_tpu.envs.brain_tumor import (
+            STAGE_NAMES,
+            BrainTumorConfig,
+            BrainTumorEnv,
+        )
+        from pdecontrolgym_tpu.rewards.brain_tumor import BrainTumorReward
+
+        self.verbose = verbose
+        cfg = BrainTumorConfig(
+            T=T, dt=dt, X=X, dx=dx,
+            t1_detection_threshold=t1_detection_threshold,
+            t2_detection_threshold=t2_detection_threshold,
+            dosage_termination_threshold=dosage_termination_threshold,
+            D=D, rho=rho, alpha=alpha, alpha_beta_ratio=alpha_beta_ratio, k=k,
+            t1_detection_radius=t1_detection_radius,
+            t1_death_radius=t1_death_radius,
+            total_dosage=float(total_dosage),
+            normalize=normalize,
+        )
+        self.config = cfg
+        reward = reward_class or BrainTumorReward()
+        self._legacy_reward = _is_legacy_reward(reward) and not isinstance(
+            reward, BrainTumorReward
+        )
+        env_reward = BrainTumorReward() if self._legacy_reward else reward
+        self.reward_class = reward
+        self.fenv = BrainTumorEnv(cfg, env_reward)
+        self._stage_names = STAGE_NAMES
+        self.reset_init_condition_func = reset_init_condition_func
+
+        self.nt, self.nx = cfg.nt, cfg.nx
+        self.dt, self.T, self.dx, self.X = dt, T, dx, X
+        self.total_dosage = float(total_dosage)
+        self.xScale = np.linspace(0, X, cfg.nx)
+        if verbose:
+            print(f"nx: {self.nx}, nt: {self.nt}")
+            print(f"u.shape: {(self.nt, self.nx)}")
+
+        self.action_space = spaces.Box(
+            np.full(1, 0, dtype="float32"), np.full(1, 1, dtype="float32")
+        )
+        self.observation_space = spaces.Box(
+            np.full(cfg.nx, 0, dtype="float64"),
+            np.full(cfg.nx, k, dtype="float64"),
+            dtype=np.float64,
+        )
+
+        self._jit_init = jax.jit(self.fenv.init_from)
+        self._jit_step = jax.jit(self.fenv.step)
+        self._state = None
+        self._t_benchmark = None
+        self.t1_radius_idx_vs_time = np.zeros(cfg.nt)
+        self.dosage_vs_time = np.zeros(cfg.nt)
+        self.time_index = 0
+
+    # -- recorded metrics (reference attribute names) -------------------------
+
+    @property
+    def stage(self):
+        return self._stage_names[int(self._state.stage)] if self._state is not None else "Growth"
+
+    @property
+    def t_benchmark(self):
+        return self._t_benchmark
+
+    @t_benchmark.setter
+    def t_benchmark(self, value):
+        self._t_benchmark = value
+        if self._state is not None and value is not None:
+            self._state = self._state.replace(
+                t_benchmark=jnp.asarray(int(value), jnp.int32)
+            )
+
+    @property
+    def simulationDays(self):
+        return int(self._state.simulation_days)
+
+    @property
+    def growthDays(self):
+        return int(self._state.growth_days)
+
+    @property
+    def therapyDays(self):
+        return int(self._state.therapy_days)
+
+    @property
+    def cDeathDay(self):
+        d = int(self._state.death_day)
+        return None if d < 0 else d
+
+    @property
+    def remaining_dosage(self):
+        return float(self._state.remaining_dosage)
+
+    @property
+    def u_current(self):
+        return np.asarray(self._state.u)
+
+    def reset(self, seed: Optional[int] = None, options: Optional[dict] = None):
+        try:
+            init_condition = self.reset_init_condition_func(self.X, self.nx)
+        except Exception:
+            raise Exception("Please pass an initial condition function")
+        tb = None if self._t_benchmark is None else int(self._t_benchmark)
+        self._state, obs = self._jit_init(jnp.asarray(init_condition), tb)
+        self.time_index = 0
+        self.t1_radius_idx_vs_time = np.zeros(self.nt)
+        self.t1_radius_idx_vs_time[0] = np.nan
+        self.dosage_vs_time = np.zeros(self.nt)
+        return np.asarray(obs), {}
+
+    def step(self, control):
+        prev_remaining = float(self._state.remaining_dosage)
+        control = float(np.asarray(control, np.float64).reshape(-1)[0])
+        self._state, out = self._jit_step(self._state, jnp.float32(control))
+        self.time_index = int(self._state.time_index)
+        t1, has = self.fenv.tumor_radius(
+            self._state.u, self.config.t1_detection_threshold
+        )
+        self.t1_radius_idx_vs_time[self.time_index] = (
+            float(t1) / self.dx if bool(has) else np.nan
+        )
+        self.dosage_vs_time[self.time_index] = prev_remaining - float(
+            self._state.remaining_dosage
+        )
+        return (
+            np.asarray(out.obs),
+            float(out.reward),
+            bool(out.terminated),
+            bool(out.truncated),
+            {"stage": self.stage},
+        )
+
+
+class TherapyWrapper(gym.Wrapper):
+    """Host-side port of the reference ``TherapyWrapper``
+    (``brain_tumor_env.py:386-506``): hides Growth inside ``reset`` and
+    Post-Therapy inside one ``step``; optional weekend breaks; ``benchmark()``
+    runs the zero-treatment baseline and stores ``t_benchmark``."""
+
+    def __init__(self, env, weekends: bool = False, verbose: bool = True):
+        super().__init__(env)
+        self.verbose = verbose
+        self.weekends = weekends
+        self.treatment_calls = 0
+        self.soft_constraint_violations = 0
+        self.consecutive_treatment_days = 0
+
+    def reset(self, seed: Optional[int] = None, options: Optional[dict] = None):
+        self.consecutive_treatment_days = 0
+        obs, info = self.env.reset()
+        while self.env.unwrapped.stage == "Growth":
+            obs, _, terminated, truncated, info = self.env.step(0)
+            if terminated or truncated:
+                break
+        return obs, info
+
+    def step(self, control):
+        if self.env.unwrapped.stage == "Post-Therapy":
+            terminated, truncated = False, False
+            while not (terminated or truncated):
+                obs, reward, terminated, truncated, info = self.env.step(0)
+            return obs, reward, terminated, truncated, info
+
+        obs, reward, terminated, truncated, info = self.env.step(control)
+        self.treatment_calls += 1
+        if reward < 0.0:
+            self.soft_constraint_violations += 1
+
+        if self.weekends:
+            control_val = float(np.asarray(control).reshape(-1)[0]) if np.ndim(control) else float(control)
+            if control_val > 0:
+                self.consecutive_treatment_days += 1
+            else:
+                self.consecutive_treatment_days = 0
+            if self.consecutive_treatment_days >= 5:
+                self.consecutive_treatment_days = 0
+                for _ in range(2):
+                    self.env.step(0)
+                    if terminated or truncated:
+                        return obs, reward, terminated, truncated, info
+        return obs, reward, terminated, truncated, info
+
+    def benchmark(self):
+        obs, info = self.env.reset()
+        terminated = truncated = False
+        while not (terminated or truncated):
+            obs, _, terminated, truncated, info = self.env.step(0)
+        t_benchmark = self.env.unwrapped.simulationDays
+        self.env.unwrapped.t_benchmark = t_benchmark
+        obs, info = self.env.reset()
+        return t_benchmark
+
+
 class NavierStokes2D(gym.Env):
     """Gymnasium-facing 2D Navier-Stokes env (API parity with
     ``navier_stokes2D.py:24``). Exposes the attributes/methods the reference
