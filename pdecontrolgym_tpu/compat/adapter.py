@@ -369,6 +369,101 @@ class TrafficPDE1D(gym.Env):
         )
 
 
+class NeuronPDE1D(gym.Env):
+    """Gymnasium-facing neuron growth env.
+
+    The reference version (``neuron_env.py:8``) is unregistered and its
+    ``step()`` is unrunnable (latent ``atilde1`` AttributeError); this adapter
+    exposes the fixed dynamics. ``step()`` ignores the action — the
+    backstepping controller is embedded in the environment — and the
+    observation is the state truncated to the moving boundary ``u[:L]``
+    (dynamic length, like the reference's ``new_u``).
+    """
+
+    def __init__(
+        self,
+        sensing_noise_func: Callable = None,
+        limit_pde_state_size: bool = False,
+        max_state_value: float = 1e10,
+        max_control_value: float = 20,
+        control_type: str = "Neumann",
+        sensing_type: str = "Neumann",
+        sensing_loc: str = "full",
+        T: float = 180.0,
+        dt: float = 5e-6,
+        X: float = 12e-6,
+        dx: float = 0.01,
+        reward_class=None,
+        normalize: bool = False,
+        **physical_params,
+    ):
+        super().__init__()
+        from pdecontrolgym_tpu.envs.neuron import NeuronConfig, NeuronEnv
+
+        cfg = NeuronConfig(
+            T=T, dt=dt, X=X, dx=dx,
+            limit_pde_state_size=limit_pde_state_size,
+            max_state_value=max_state_value,
+            max_control_value=max_control_value,
+            control_type=control_type,
+            sensing_type=sensing_type,
+            sensing_loc=sensing_loc,
+            normalize=normalize,
+            **physical_params,
+        )
+        self.config = cfg
+        self.sensing_noise_func = sensing_noise_func or (lambda s: s)
+        self.fenv = NeuronEnv(cfg, reward_class if not _is_legacy_reward(reward_class) else None)
+        self._legacy_reward = _is_legacy_reward(reward_class)
+        self.reward_class = reward_class
+        self.M = self.fenv.M
+        self.nt, self.dt, self.T, self.dx, self.X = cfg.nt, dt, T, dx, X
+        self.observation_space = spaces.Box(
+            np.full(self.M, -max_state_value, dtype="float32"),
+            np.full(self.M, max_state_value, dtype="float32"),
+        )
+        self.action_space = spaces.Box(
+            low=np.array([-max_control_value], dtype="float32"),
+            high=np.array([max_control_value], dtype="float32"),
+            shape=(1,), dtype="float32",
+        )
+        self._jit_init = jax.jit(self.fenv.init)
+        self._jit_step = jax.jit(self.fenv.step)
+        self._state = None
+        self.time_index = 0.0
+
+    @property
+    def L(self):
+        return int(self._state.L)
+
+    @property
+    def u(self):
+        return np.asarray(self._state.u).reshape(-1, 1)
+
+    @property
+    def Z(self):
+        return np.asarray(self._state.Z).reshape(-1, 1)
+
+    def reset(self, seed: Optional[int] = None, options: Optional[dict] = None):
+        self._state, obs = self._jit_init(None)
+        self.time_index = 0.0
+        return self.sensing_noise_func(np.asarray(obs)[: self.L]), {}
+
+    def step(self, action=None):
+        self._state, out = self._jit_step(self._state)
+        self.time_index = float(self._state.time_index)
+        L = int(out.info["L"])
+        obs = self.sensing_noise_func(np.asarray(out.obs)[:L])
+        reward = float(out.reward)
+        if self._legacy_reward and self.reward_class is not None:
+            u2d = np.asarray(out.obs).reshape(-1, 1)
+            reward = self.reward_class.reward(
+                u2d, self.time_index, bool(out.terminated), bool(out.truncated),
+                u2d[L],
+            )
+        return obs, reward, bool(out.terminated), bool(out.truncated), {}
+
+
 class BrainTumor1D(gym.Env):
     """Gymnasium-facing glioblastoma env (API parity with
     ``brain_tumor_env.py:8``), including the recorded-metrics attributes the

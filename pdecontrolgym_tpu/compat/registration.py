@@ -17,6 +17,8 @@ _SPECS = {
     "PDEControlGym-TrafficPDE1D": "pdecontrolgym_tpu.compat.adapter:TrafficPDE1D",
     "PDEControlGym-NavierStokes2D": "pdecontrolgym_tpu.compat.adapter:NavierStokes2D",
     "PDEControlGym-Burgers1D": "pdecontrolgym_tpu.compat.adapter:BurgersPDE1D",
+    # unregistered + unrunnable in the reference; fixed and registered here
+    "PDEControlGym-NeuronPDE1D": "pdecontrolgym_tpu.compat.adapter:NeuronPDE1D",
 }
 
 

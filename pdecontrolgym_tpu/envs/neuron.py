@@ -1,0 +1,259 @@
+"""Neuron (axon) growth control PDE — moving-boundary PDE-ODE cascade.
+
+Tubulin advection-diffusion ``u_t = D u_xx − a u_x − g u`` on the growing
+domain ``[0, l(t)]`` coupled to the 2-state cone ODE ``Ż = A₁Z + B uₓ(l(t))``,
+with an *embedded* backstepping controller: ``step()`` ignores any external
+action and computes ``U(t)`` internally from precomputed gain kernels
+``φ(x) = RowVec · expm(−x·N₁) · [I; 0]`` (reference
+``src/environments1d/neuron_env.py:171-232``, computed here with a vmapped
+``jax.scipy.linalg.expm``) and a masked trapezoidal integral (:302-307).
+
+The moving boundary is tracked as a grid index ``L`` via the clamped
+``Conversion`` map (:367-373); interior updates are masked vectorized stencils
+over ``1 ≤ n < L`` instead of the reference's Python loop.
+
+Reference bugs fixed (not replicated): the ``atilde1`` / ``aTilde1``
+AttributeError (:288 vs :78) that makes the reference's ``step()`` unrunnable,
+and the unreachable ``sensing_loc="Full"`` default (:50 vs the lowercase match
+arms :104-131). Oracle tests patch the reference attribute to compare.
+
+Quirk preserved: ``time_index`` accumulates ``dt`` per step while ``terminate``
+compares against ``nt`` (:276, :347) — episodes effectively never
+time-terminate, matching the reference.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from pdecontrolgym_tpu.core.base import FunctionalEnv, RewardCtx, StepOut
+
+
+@dataclasses.dataclass(frozen=True)
+class NeuronConfig:
+    T: float = 180.0
+    dt: float = 5e-6
+    X: float = 12e-6
+    dx: float = 0.01
+    cInfty: float = 0.0119
+    LSubS: float = 12e-6
+    k1: float = -1e3
+    k2: float = 1e13
+    LSubZero: float = 1e-6
+    LSubC: float = 4e-6
+    a: float = 1e-8
+    g: float = 5e-7
+    D: float = 10e-12
+    TildeRSubG: float = 0.053
+    RSubG: float = 1.783e-5
+    limit_pde_state_size: bool = False
+    max_state_value: float = 1e10
+    max_control_value: float = 20.0
+    control_type: str = "Neumann"
+    sensing_type: str = "Neumann"
+    sensing_loc: str = "full"  # reference default "Full" is unreachable; fixed
+    normalize: bool = False
+    dtype: Any = jnp.float64
+
+    @property
+    def nt(self) -> int:
+        return int(round(self.T / self.dt) + 1)
+
+    @property
+    def scale_and_length(self):
+        # neuron_env.py:164-169: scale X up by 10s until >= 1
+        length, scale = self.X, 1.0
+        while length < 1:
+            length *= 10
+            scale /= 10
+        return scale, length
+
+    @property
+    def M(self) -> int:
+        _, length = self.scale_and_length
+        return len(jnp.arange(0.0, length + self.dx, self.dx))
+
+
+@struct.dataclass
+class NeuronState:
+    u: jnp.ndarray  # (M,) tubulin error state
+    Z: jnp.ndarray  # (2,) cone ODE state
+    L: jnp.ndarray  # int32 boundary grid index
+    time_index: jnp.ndarray  # float accumulator
+
+
+class NeuronEnv(FunctionalEnv):
+    def __init__(self, config: NeuronConfig, reward=None,
+                 noise_fn: Optional[Callable] = None):
+        c = config
+        self.config = c
+        self.reward = reward
+        self.noise_fn = noise_fn
+
+        scale, length = c.scale_and_length
+        self.scale = scale
+        x = jnp.arange(0.0, length + c.dx, c.dx)
+        self.x = x
+        M = x.shape[0]
+        self.M = M
+
+        # physical constant block (neuron_env.py:62-100)
+        H = jnp.array([1.0, -((c.a - c.g * c.LSubC) * c.cInfty) / c.D])
+        aT1 = (c.a - c.RSubG * c.cInfty) / c.LSubC - c.g - c.TildeRSubG
+        A1 = jnp.array([[aT1, 0.0], [c.RSubG, 0.0]])
+        beta = c.D / c.LSubC
+        B = jnp.array([-beta, 0.0])
+        disc = jnp.sqrt(c.a**2 + 4.0 * c.D * c.g)
+        lam_minus = (c.a - disc) / (2.0 * c.D)
+        lam_plus = (c.a + disc) / (2.0 * c.D)
+        kshift = (c.a - 2.0 * c.g * c.LSubC) / 2.0 / disc
+        K_minus, K_plus = 0.5 - kshift, 0.5 + kshift
+        K = jnp.array([c.k1, c.k2])
+        gamma = (c.a / c.D) * 10.0
+
+        self.H, self.B, self.K = H, B, K
+        self.aTilde1, self.beta_c, self.gamma = aT1, beta, gamma
+
+        # N1 block matrix (neuron_env.py:176-180)
+        I2, Z2 = jnp.eye(2), jnp.zeros((2, 2))
+        Hr, Br = H[:, None], B[:, None]
+        TR = (1.0 / c.D) * (c.g * I2 + A1 + (c.a / c.D) * (Br @ Hr.T))
+        BR = (1.0 / c.D) * (Br @ Hr.T + c.a * I2)
+        N1 = jnp.block([[Z2, TR], [I2, BR]])
+
+        row_vec = jnp.concatenate([H, K - (H @ Br @ Hr.T).ravel() / c.D])
+        Ivec = jnp.vstack([I2, jnp.zeros((2, 2))])
+        Ivec_flip = jnp.vstack([jnp.zeros((2, 2)), I2])
+
+        # gain tables φ, φ′, p — vmapped matrix exponentials (:222-232)
+        def gains(xi):
+            E = jax.scipy.linalg.expm(-scale * xi * N1)
+            phi = row_vec @ E @ Ivec
+            phip = row_vec @ E @ Ivec_flip
+            return phi, phip
+
+        phi, phip = jax.vmap(gains)(x)
+        self.phi = phi
+        self.phi_prime = phip
+        self.p = phip - gamma * phi  # (M, 2)
+        self.pB = self.p @ B  # (M,)
+
+        # equilibrium profile + IC (neuron_env.py:202-219)
+        dist = scale * x - c.LSubS
+        self.c_eq = c.cInfty * (
+            K_plus * jnp.exp(lam_plus * dist) + K_minus * jnp.exp(lam_minus * dist)
+        )
+        self.coefficient = (H @ B) / c.D + gamma
+
+    @property
+    def obs_dim(self) -> int:
+        return self.M
+
+    def _conversion(self, z1):
+        """Physical length -> clamped grid index (neuron_env.py:367-373)."""
+        c = self.config
+        lt_code = (z1 + c.LSubS) / self.scale
+        raw = jnp.round(lt_code / c.dx).astype(jnp.int32)
+        return jnp.clip(raw, 1, self.M - 1)
+
+    def init(self, key=None):
+        c = self.config
+        u0 = 2.0 * c.cInfty - self.c_eq
+        Z0 = jnp.array([c.cInfty, c.LSubZero - c.LSubS], c.dtype)
+        state = NeuronState(
+            u=u0.astype(c.dtype),
+            Z=Z0,
+            L=self._conversion(Z0[1]),
+            time_index=jnp.zeros((), c.dtype),
+        )
+        return state, state.u
+
+    def step(self, state: NeuronState, action=None, key=None):
+        """Advance one dt. ``action`` is ignored — the backstepping control is
+        embedded (reference ``step()`` takes no argument, neuron_env.py:261)."""
+        c = self.config
+        dt, dx = c.dtype(c.dt), c.dtype(c.dx)
+        u, Z, L = state.u, state.Z, state.L
+        t = state.time_index + dt
+
+        lt = Z[1] + c.LSubS
+        dxreal = dx * lt
+
+        # cone ODE update using the OLD boundary index (neuron_env.py:288-293)
+        ux_tip = (3.0 * u[L] - 4.0 * u[L - 1] + u[L - 2]) / (2.0 * dxreal)
+        Z0_new = (self.aTilde1 * Z[0] - self.beta_c * ux_tip) * dt + Z[0]
+        Z1_new = c.RSubG * Z[0] * dt + Z[1]
+        Z_new = jnp.stack([Z0_new, Z1_new])
+        L_new = self._conversion(Z1_new)
+
+        # backstepping control U(t): masked trapezoid over [0, L_new] (:302-307)
+        idx = jnp.arange(self.M)
+        inner = jnp.where((idx >= 1) & (idx < L_new), self.pB * u, 0.0).sum() * dxreal
+        middle = (
+            dxreal * self.pB[0] * u[0] / 2.0
+            + inner
+            + dxreal / 2.0 * self.pB[L_new] * u[L_new]
+        ) / c.D
+        control = lt * (
+            self.coefficient * u[0] - middle + self.p[L_new] @ Z_new
+        )
+
+        # left boundary via fictitious point (:313-314)
+        ufic = u[1] - control * dxreal * 2.0
+        u0_new = (
+            (c.D / dxreal**2) * (u[1] - 2.0 * u[0] + ufic)
+            - c.a / (2.0 * dxreal) * (u[1] - ufic)
+            - c.g * u[0]
+        ) * dt + u[0]
+
+        # interior update, vectorized over 1 <= n < L_new (:317-320)
+        up1, um1 = jnp.roll(u, -1), jnp.roll(u, 1)
+        uxx = (up1 - 2.0 * u + um1) / dxreal**2
+        diff = up1 - um1
+        adv = ((idx - 1) / lt) * (c.RSubG * Z[0]) * diff / 2.0
+        interior = u + dt * (c.D * uxx + adv - c.a * diff / dxreal / 2.0 - c.g * u)
+
+        u_new = jnp.where((idx >= 1) & (idx < L_new), interior, u)
+        u_new = u_new.at[0].set(u0_new)
+        u_new = u_new.at[L_new].set(self.H @ Z_new)  # tip BC (:322)
+
+        terminated = t >= c.nt  # quirk preserved (:347)
+        truncated = jnp.logical_and(
+            bool(c.limit_pde_state_size),
+            jnp.linalg.norm(u_new) >= c.max_state_value,
+        )
+        new_state = NeuronState(
+            u=u_new,
+            Z=Z_new,
+            L=L_new,
+            time_index=jnp.where(terminated, 0.0, t).astype(c.dtype),
+        )
+
+        reward = jnp.zeros((), c.dtype)
+        if self.reward is not None:
+            ctx = RewardCtx(
+                u=u_new,
+                time_index=t,
+                executed=jnp.asarray(1, jnp.int32),
+                terminated=terminated,
+                truncated=truncated,
+                action=u_new[L_new],
+                norms=jnp.linalg.norm(u_new)[None],
+                bsum=jnp.zeros((), c.dtype),
+                ring=1,
+                extras={"Z": Z_new, "L": L_new, "control": control},
+            )
+            reward = self.reward(ctx)
+
+        return new_state, StepOut(
+            obs=u_new,
+            reward=reward,
+            terminated=terminated,
+            truncated=truncated,
+            info={"L": L_new, "Z": Z_new, "control": control},
+        )

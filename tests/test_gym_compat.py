@@ -80,3 +80,12 @@ def test_gym_make_traffic():
     # tutorial-visible attributes
     for attr in ("qs", "vs", "rs", "vm", "rm", "ps", "tau", "L", "v", "r"):
         assert hasattr(u, attr)
+
+
+def test_gym_make_neuron():
+    env = gym.make("PDEControlGym-NeuronPDE1D")
+    obs, _ = env.reset()
+    L0 = env.unwrapped.L
+    assert obs.shape == (L0,)
+    obs, rew, term, trunc, _ = env.step(None)
+    assert np.isfinite(obs).all() and not term

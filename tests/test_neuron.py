@@ -1,0 +1,95 @@
+"""Neuron growth env parity vs the (bug-patched) reference.
+
+The reference ``NeuronPDE1D.step()`` crashes on a latent AttributeError
+(``neuron_env.py:288`` uses ``self.atilde1``; only ``aTilde1`` is defined at
+:78). The oracle patches the attribute to run the evidently intended dynamics.
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from pdecontrolgym_tpu.envs.neuron import NeuronConfig, NeuronEnv
+
+from reference_loader import load_reference_module
+
+PARAMS = dict(T=180.0, dt=5e-6, X=12e-6, dx=0.01)
+
+
+class _ZeroReward:
+    def reward(self, uVec, time_index, terminate, truncate, action):
+        return 0.0
+
+
+def _ref_env():
+    neuron = load_reference_module("pde_control_gym.src.environments1d.neuron_env")
+    env = neuron.NeuronPDE1D(
+        sensing_noise_func=lambda s: s,
+        reward_class=_ZeroReward(),
+        sensing_loc="full",
+        **PARAMS,
+    )
+    env.atilde1 = env.aTilde1  # the documented reference bug
+    return env
+
+
+def _tpu_env():
+    return NeuronEnv(NeuronConfig(**PARAMS))
+
+
+def test_construction_tables_match():
+    ref = _ref_env()
+    env = _tpu_env()
+    assert env.M == ref.M
+    np.testing.assert_allclose(np.asarray(env.phi), ref.phi, rtol=1e-7)
+    np.testing.assert_allclose(np.asarray(env.phi_prime), ref.PhiPrime, rtol=1e-7)
+    np.testing.assert_allclose(np.asarray(env.p), ref.p, rtol=1e-7)
+    np.testing.assert_allclose(np.asarray(env.c_eq), ref.CSubEq[:, 0], rtol=1e-10)
+    state, obs = env.init(None)
+    np.testing.assert_allclose(np.asarray(state.u), ref.u[:, 0], rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(state.Z), ref.Z[:, 0], rtol=1e-12)
+    assert int(state.L) == ref.L
+
+
+def test_trajectory_parity_200_steps():
+    ref = _ref_env()
+    env = _tpu_env()
+    step = jax.jit(env.step)
+    state, _ = env.init(None)
+    for i in range(200):
+        obs, rew, term, trunc, _ = ref.step()
+        state, out = step(state)
+        assert int(state.L) == ref.L
+        np.testing.assert_allclose(
+            np.asarray(state.u), ref.u[:, 0], rtol=1e-8, atol=1e-14
+        )
+        np.testing.assert_allclose(
+            np.asarray(state.Z), ref.Z[:, 0], rtol=1e-10
+        )
+        np.testing.assert_allclose(
+            float(out.info["control"]), float(np.asarray(ref.ControlInput).ravel()[0]),
+            rtol=1e-8,
+        )
+        assert bool(out.terminated) == term
+
+
+def test_growth_progresses_toward_target_length():
+    """Long rollout via lax.scan: the boundary index L should grow as the
+    axon approaches LSubS (control objective)."""
+    env = _tpu_env()
+    state, _ = env.init(None)
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=1)
+    def run(state, n):
+        def body(s, _):
+            s, out = env.step(s)
+            return s, s.L
+
+        return jax.lax.scan(body, state, None, length=n)
+
+    state, Ls = run(state, 20000)
+    assert int(Ls[-1]) >= int(Ls[0])  # domain does not collapse
+    assert np.isfinite(np.asarray(state.u)).all()
