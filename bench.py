@@ -1,0 +1,116 @@
+"""Throughput benchmark: aggregate 1D PDE env-steps/s at 4096 parallel envs.
+
+BASELINE.json configs 1-2: transport nx=128 under the backstepping boundary
+controller, and Burgers nx=256 under Dirichlet boundary control. Each rollout
+is ONE jitted program (policy + control-interval scan over PDE sub-steps,
+vmapped over the env batch); throughput counts PDE sub-steps, the unit the
+reference's ``while`` loop executes per Python iteration
+(``hyperbolic.py:140-156``).
+
+Prints exactly one JSON line:
+    {"metric": ..., "value": N, "unit": "env-steps/s", "vs_baseline": N}
+with vs_baseline relative to the 1e6 steps/s/host target in BASELINE.md.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def _build_transport(num_envs):
+    from pdecontrolgym_tpu.agents.backstepping import transport_kernel
+    from pdecontrolgym_tpu.envs.common import Boundary1DConfig
+    from pdecontrolgym_tpu.envs.transport import TransportEnv
+    from pdecontrolgym_tpu.rewards.tuned import TunedReward1D
+
+    nx = 128
+    cfg = Boundary1DConfig(
+        T=5.0, dt=1e-4, X=1.0, dx=1.0 / nx, control_sample_rate=0.1,
+        limit_pde_state_size=True, max_state_value=1e10,
+    )
+    env = TransportEnv(cfg, TunedReward1D(int(round(cfg.T / cfg.dt)), -1e3, 3e2))
+    spatial = jnp.linspace(cfg.dx, cfg.X, nx)
+    theta = (5.0 * jnp.cos(7.35 * jnp.arccos(jnp.clip(spatial, -1, 1)))).astype(jnp.float32)
+    kernel = transport_kernel(theta, cfg.dx)
+
+    def policy(obs, _key):
+        return (obs @ kernel) * cfg.dx
+
+    agent_steps = 50  # one full episode: 50 actions x 1000 sub-steps
+    return env, policy, agent_steps, cfg.sample_rate
+
+
+def _build_burgers(num_envs):
+    from pdecontrolgym_tpu.envs.burgers import BurgersConfig, BurgersEnv
+    from pdecontrolgym_tpu.rewards.tuned import TunedReward1D
+
+    nx = 256
+    cfg = BurgersConfig(
+        T=1.0, dt=1e-4, X=1.0, dx=1.0 / nx, control_sample_rate=0.01,
+        viscosity=1e-3,
+    )
+    env = BurgersEnv(cfg, TunedReward1D(int(round(cfg.T / cfg.dt))))
+
+    def policy(obs, _key):
+        return -0.5 * obs[..., -2]  # damp the boundary
+
+    agent_steps = 100  # full episode: 100 actions x 100 sub-steps
+    return env, policy, agent_steps, cfg.sample_rate
+
+
+def bench_env(name, num_envs, repeats=3):
+    from pdecontrolgym_tpu.parallel.rollout import rollout
+
+    build = {"transport": _build_transport, "burgers": _build_burgers}[name]
+    env, policy, agent_steps, sample_rate = build(num_envs)
+
+    run = jax.jit(
+        lambda key: rollout(env, policy, num_envs, agent_steps, key)[1].reward
+    )
+    key = jax.random.key(0)
+    run(key).block_until_ready()  # compile
+    best = float("inf")
+    for i in range(repeats):
+        t0 = time.perf_counter()
+        run(jax.random.key(i)).block_until_ready()
+        best = min(best, time.perf_counter() - t0)
+    substeps = num_envs * agent_steps * sample_rate
+    return substeps, best
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--envs", type=int, default=4096)
+    ap.add_argument("--only", choices=["transport", "burgers"], default=None)
+    ap.add_argument("--verbose", action="store_true")
+    args = ap.parse_args()
+
+    names = [args.only] if args.only else ["transport", "burgers"]
+    total_steps, total_time = 0.0, 0.0
+    per = {}
+    for name in names:
+        steps, sec = bench_env(name, args.envs)
+        per[name] = steps / sec
+        total_steps += steps
+        total_time += sec
+        if args.verbose:
+            print(f"# {name}: {steps / sec:,.0f} env-steps/s  ({sec * 1e3:.1f} ms/rollout)",
+                  file=sys.stderr)
+
+    value = total_steps / total_time
+    print(json.dumps({
+        "metric": "1D PDE env-steps/s/chip @ %d envs (transport nx=128 + Burgers nx=256)" % args.envs,
+        "value": round(value),
+        "unit": "env-steps/s",
+        "vs_baseline": round(value / 1e6, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,18 @@
+from pdecontrolgym_tpu.agents.backstepping import (
+    parabolic_control,
+    parabolic_kernel,
+    transport_control,
+    transport_kernel,
+)
+from pdecontrolgym_tpu.agents.networks import ActorCritic
+from pdecontrolgym_tpu.agents.ppo import PPOConfig, PPOTrainer
+
+__all__ = [
+    "ActorCritic",
+    "PPOConfig",
+    "PPOTrainer",
+    "parabolic_control",
+    "parabolic_kernel",
+    "transport_control",
+    "transport_kernel",
+]

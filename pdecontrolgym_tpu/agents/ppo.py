@@ -1,0 +1,276 @@
+"""On-device PPO — the TPU-native replacement for the reference's SB3 usage.
+
+The reference trains SB3 PPO against a single Python env for 1e6 steps
+(``examples/transportPDE/transport1Dppo.py:80-90``), spending ~99% of wall time
+in ``env.step`` (SURVEY §3.4). Here the whole loop — batched env rollout,
+GAE, clipped-surrogate minibatch epochs — is ONE jitted program: envs never
+leave the device and thousands step in lockstep.
+
+Multi-chip: ``mesh=`` shards the env batch over a 1D ``("env",)`` device mesh
+with ``shard_map``; parameters are replicated, gradients are ``pmean``-reduced
+across the mesh, so every device applies the identical update (standard data
+parallelism, collectives riding ICI).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from pdecontrolgym_tpu.agents.networks import (
+    ActorCritic,
+    entropy,
+    gaussian_logp,
+    sample_action,
+)
+from pdecontrolgym_tpu.parallel.mesh import ENV_AXIS
+
+
+@dataclasses.dataclass(frozen=True)
+class PPOConfig:
+    lr: float = 3e-4
+    num_envs: int = 256
+    num_steps: int = 16
+    num_epochs: int = 4
+    num_minibatches: int = 4
+    gamma: float = 0.99
+    gae_lambda: float = 0.95
+    clip_eps: float = 0.2
+    ent_coef: float = 0.0
+    vf_coef: float = 0.5
+    max_grad_norm: float = 0.5
+    hidden: tuple = (128, 128)
+
+
+@struct.dataclass
+class Runner:
+    params: dict
+    opt_state: tuple
+    env_state: any
+    obs: jnp.ndarray
+    key: jax.Array
+
+
+class PPOTrainer:
+    def __init__(self, env, config: PPOConfig = PPOConfig(), mesh: Optional[Mesh] = None):
+        self.env = env
+        self.cfg = config
+        self.mesh = mesh
+        self.net = ActorCritic(action_dim=env.action_dim, hidden=config.hidden)
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(config.max_grad_norm),
+            optax.adam(config.lr, eps=1e-5),
+        )
+        if mesh is not None and config.num_envs % mesh.size != 0:
+            raise ValueError(
+                f"num_envs={config.num_envs} must divide over mesh size {mesh.size}"
+            )
+
+    # -- initialization -------------------------------------------------------
+
+    def init(self, key: jax.Array) -> Runner:
+        cfg = self.cfg
+        key, net_key, env_key = jax.random.split(key, 3)
+        env_keys = jax.random.split(env_key, cfg.num_envs)
+        env_state, obs = jax.vmap(self.env.init)(env_keys)
+        params = self.net.init(net_key, obs[:1])
+        opt_state = self.tx.init(params)
+        runner = Runner(
+            params=params, opt_state=opt_state, env_state=env_state, obs=obs, key=key
+        )
+        if self.mesh is not None:
+            shard = NamedSharding(self.mesh, P(ENV_AXIS))
+            repl = NamedSharding(self.mesh, P())
+            runner = Runner(
+                params=jax.device_put(runner.params, repl),
+                opt_state=jax.device_put(runner.opt_state, repl),
+                env_state=jax.tree_util.tree_map(
+                    lambda x: jax.device_put(x, shard), runner.env_state
+                ),
+                obs=jax.device_put(runner.obs, shard),
+                key=jax.device_put(runner.key, repl),
+            )
+        return runner
+
+    # -- one training iteration ----------------------------------------------
+
+    def make_train_step(self):
+        """Returns jitted ``train_step(runner) -> (runner, metrics)``."""
+        if self.mesh is None:
+            return jax.jit(self._train_step_local)
+
+        spec_shard = P(ENV_AXIS)
+        spec_repl = P()
+        in_specs = Runner(
+            params=spec_repl,
+            opt_state=spec_repl,
+            env_state=spec_shard,
+            obs=spec_shard,
+            key=spec_repl,
+        )
+        sharded = jax.shard_map(
+            self._train_step_local,
+            mesh=self.mesh,
+            in_specs=(in_specs,),
+            out_specs=(in_specs, spec_repl),
+            check_vma=False,
+        )
+        return jax.jit(sharded)
+
+    def _train_step_local(self, runner: Runner):
+        cfg = self.cfg
+        on_mesh = self.mesh is not None
+        if on_mesh:
+            # per-shard RNG stream; params/opt stay identical across shards
+            shard_id = jax.lax.axis_index(ENV_AXIS)
+            local_key = jax.random.fold_in(runner.key, shard_id)
+        else:
+            local_key = runner.key
+        key, rollout_key, perm_key = jax.random.split(local_key, 3)
+
+        # ---- rollout ----
+        def env_step(carry, step_key):
+            env_state, obs = carry
+            act_key, reset_key = jax.random.split(step_key)
+            mean, log_std, value = self.net.apply(runner.params, obs)
+            action, logp = sample_action(mean, log_std, act_key)
+            n = obs.shape[0]
+            env_action = action[:, 0] if self.env.action_dim == 1 else action
+            reset_keys = jax.random.split(reset_key, n)
+            env_state, out = jax.vmap(self.env.autoreset_step)(
+                env_state, env_action, reset_keys
+            )
+            done = jnp.logical_or(out.terminated, out.truncated)
+            data = (obs, action, logp, value, out.reward, done)
+            return (env_state, out.obs), data
+
+        step_keys = jax.random.split(rollout_key, cfg.num_steps)
+        (env_state, last_obs), traj = jax.lax.scan(
+            env_step, (runner.env_state, runner.obs), step_keys
+        )
+        obs_t, act_t, logp_t, val_t, rew_t, done_t = traj
+
+        # ---- GAE ----
+        _, _, last_val = self.net.apply(runner.params, last_obs)
+
+        def gae_step(carry, inp):
+            gae, next_value = carry
+            value, reward, done = inp
+            nd = 1.0 - done.astype(jnp.float32)
+            delta = reward + cfg.gamma * next_value * nd - value
+            gae = delta + cfg.gamma * cfg.gae_lambda * nd * gae
+            return (gae, value), gae
+
+        (_, _), adv_t = jax.lax.scan(
+            gae_step,
+            (jnp.zeros_like(last_val), last_val),
+            (val_t, rew_t, done_t),
+            reverse=True,
+        )
+        ret_t = adv_t + val_t
+
+        # ---- minibatch epochs ----
+        batch = jax.tree_util.tree_map(
+            lambda x: x.reshape((-1,) + x.shape[2:]),
+            (obs_t, act_t, logp_t, val_t, adv_t, ret_t),
+        )
+        batch_size = cfg.num_steps * obs_t.shape[1]
+        mb_size = batch_size // cfg.num_minibatches
+
+        def loss_fn(params, mb):
+            obs, act, logp_old, val_old, adv, ret = mb
+            mean, log_std, value = self.net.apply(params, obs)
+            logp = gaussian_logp(act, mean, log_std)
+            ratio = jnp.exp(logp - logp_old)
+            adv_n = (adv - adv.mean()) / (adv.std() + 1e-8)
+            pg1 = ratio * adv_n
+            pg2 = jnp.clip(ratio, 1.0 - cfg.clip_eps, 1.0 + cfg.clip_eps) * adv_n
+            pg_loss = -jnp.minimum(pg1, pg2).mean()
+            v_clip = val_old + jnp.clip(value - val_old, -cfg.clip_eps, cfg.clip_eps)
+            v_loss = 0.5 * jnp.maximum(
+                jnp.square(value - ret), jnp.square(v_clip - ret)
+            ).mean()
+            ent = entropy(log_std).mean()
+            total = pg_loss + cfg.vf_coef * v_loss - cfg.ent_coef * ent
+            return total, (pg_loss, v_loss, ent)
+
+        def epoch(carry, epoch_key):
+            params, opt_state = carry
+            perm = jax.random.permutation(epoch_key, batch_size)
+            shuffled = jax.tree_util.tree_map(lambda x: x[perm], batch)
+            minibatches = jax.tree_util.tree_map(
+                lambda x: x.reshape((cfg.num_minibatches, mb_size) + x.shape[1:]),
+                shuffled,
+            )
+
+            def mb_update(carry, mb):
+                params, opt_state = carry
+                (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                    params, mb
+                )
+                if on_mesh:
+                    grads = jax.lax.pmean(grads, ENV_AXIS)
+                    loss = jax.lax.pmean(loss, ENV_AXIS)
+                updates, opt_state = self.tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                mb_update, (params, opt_state), minibatches
+            )
+            return (params, opt_state), losses
+
+        epoch_keys = jax.random.split(perm_key, cfg.num_epochs)
+        (params, opt_state), losses = jax.lax.scan(
+            epoch, (runner.params, runner.opt_state), epoch_keys
+        )
+
+        mean_rew = rew_t.mean()
+        if on_mesh:
+            mean_rew = jax.lax.pmean(mean_rew, ENV_AXIS)
+            new_key = runner.key  # replicated stream advances identically
+            _, new_key = jax.random.split(new_key)
+        else:
+            new_key = key
+
+        metrics = {"mean_reward": mean_rew, "loss": losses.mean()}
+        if on_mesh:
+            metrics["loss"] = jax.lax.pmean(metrics["loss"], ENV_AXIS)
+        new_runner = Runner(
+            params=params,
+            opt_state=opt_state,
+            env_state=env_state,
+            obs=last_obs,
+            key=new_key,
+        )
+        return new_runner, metrics
+
+    # -- convenience ----------------------------------------------------------
+
+    def train(self, key: jax.Array, num_iterations: int, log_every: int = 10,
+              callback=None):
+        runner = self.init(key)
+        train_step = self.make_train_step()
+        for it in range(num_iterations):
+            runner, metrics = train_step(runner)
+            if callback is not None and (it % log_every == 0 or it == num_iterations - 1):
+                callback(it, jax.device_get(metrics))
+        return runner
+
+    def policy(self, params, deterministic: bool = True):
+        def act(obs, key=None):
+            mean, log_std, _ = self.net.apply(params, obs)
+            if deterministic or key is None:
+                a = mean
+            else:
+                a, _ = sample_action(mean, log_std, key)
+            return a[..., 0] if self.env.action_dim == 1 else a
+
+        return act
