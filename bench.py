@@ -70,15 +70,17 @@ def bench_env(name, num_envs, repeats=3):
     build = {"transport": _build_transport, "burgers": _build_burgers}[name]
     env, policy, agent_steps, sample_rate = build(num_envs)
 
+    # the whole rollout is ONE device program returning a scalar; timing
+    # includes a host readback of that scalar because block_until_ready over
+    # the axon tunnel returns before remote execution completes
     run = jax.jit(
-        lambda key: rollout(env, policy, num_envs, agent_steps, key)[1].reward
+        lambda key: rollout(env, policy, num_envs, agent_steps, key)[1].reward.sum()
     )
-    key = jax.random.key(0)
-    run(key).block_until_ready()  # compile
+    float(np.asarray(run(jax.random.key(0))))  # compile + first run
     best = float("inf")
     for i in range(repeats):
         t0 = time.perf_counter()
-        run(jax.random.key(i)).block_until_ready()
+        float(np.asarray(run(jax.random.key(i))))
         best = min(best, time.perf_counter() - t0)
     substeps = num_envs * agent_steps * sample_rate
     return substeps, best

@@ -48,10 +48,12 @@ class RewardCtx:
     (``src/rewards/base_reward.py:13-24``). The TPU engine instead carries O(1)
     running statistics:
 
-    - ``norms``: L2 norms of the last ``ring`` PDE rows *plus* every sub-step of
-      the current control interval, concatenated. ``norms[i]`` is the norm of
-      the row at ``time_index_before_step - (ring - 1) + i``; the norm of the
-      current row therefore lives at ``ring + executed - 1``.
+    - ``norms``: the TRAILING window of per-row L2 norms — ``norms[-1]`` is
+      the current row, ``norms[-1-k]`` the row k sub-steps earlier. The window
+      width is ``reward.ring_requirement + 1``, so every lag a reward declares
+      is resolvable. (Computing a norm every sub-step is the throughput
+      bottleneck — a cross-lane reduction per step — so the engines compute
+      only this window per control interval; see envs/common.py.)
     - ``bsum``: running sum of ``|u[t, -1]|`` over all rows written so far
       (replaces the reference's ``np.sum(abs(uVec[:, -1]))``,
       ``tuned_reward_1d.py:37``).
@@ -71,11 +73,11 @@ class RewardCtx:
     @property
     def cur_norm(self) -> jnp.ndarray:
         """L2 norm of the current PDE row (``np.linalg.norm(uVec[time_index])``)."""
-        return self.norms[self.ring + self.executed - 1]
+        return self.norms[-1]
 
     def norm_at_lag(self, lag) -> jnp.ndarray:
         """L2 norm of the row ``lag`` sub-steps before the current one."""
-        return self.norms[self.ring + self.executed - 1 - lag]
+        return self.norms[-1 - lag]
 
 
 RewardFn = Callable[[RewardCtx], jnp.ndarray]

@@ -38,6 +38,10 @@ def _canon(kind: str, what: str) -> str:
     return k
 
 
+def is_neumann(control_type: str) -> bool:
+    return _canon(control_type, "control_type") == NEUMANN
+
+
 def make_control_fn(
     control_type: str, normalize: bool, max_control_value: float, dx: float
 ) -> Callable:

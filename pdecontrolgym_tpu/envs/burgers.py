@@ -56,6 +56,22 @@ class BurgersEnv(Boundary1DEnv):
         u_new = jnp.concatenate([left[None], interior, boundary[None]])
         return u_new, boundary
 
+    def _pallas_spec(self):
+        from pdecontrolgym_tpu.core.sensing import is_neumann
+        from pdecontrolgym_tpu.ops.pallas1d import burgers_update
+
+        c = self.config
+        neumann = is_neumann(c.control_type)
+        if neumann and c.normalize:
+            return None
+        update = burgers_update(c.dt, c.dx, self.state_dim, c.viscosity, neumann)
+        if neumann:
+            ctrl = lambda control: control
+        else:
+            zero = jnp.zeros((), c.dtype)
+            ctrl = lambda control: self._control_fn(control, zero)
+        return update, ctrl
+
     def default_ic(self, key):
         """Smooth random IC: height·sin(πx) with height ~ U(0.5, 2)."""
         c = self.config

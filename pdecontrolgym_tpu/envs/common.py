@@ -99,7 +99,11 @@ class Boundary1DEnv(FunctionalEnv):
         self.reward = reward
         self.ic_sampler = ic_sampler
         self.noise_fn = noise_fn
-        self.ring = max(int(getattr(reward, "ring_requirement", 1)), 1)
+        # trailing-norm window: wide enough for the largest lag the reward
+        # declares, +1 for the current row. Norms are only computed for the
+        # last `window` sub-steps of each control interval — the full-rate
+        # cross-lane reduction would otherwise dominate the stencil cost.
+        self.window = max(int(getattr(reward, "ring_requirement", 1)), 1) + 1
         self._needs_prev = bool(getattr(reward, "needs_prev_row", False))
         self._control_fn = make_control_fn(
             config.control_type, config.normalize, config.max_control_value, config.dx
@@ -154,7 +158,7 @@ class Boundary1DEnv(FunctionalEnv):
             u=u0,
             beta=beta,
             time_index=jnp.asarray(0, jnp.int32),
-            norm_ring=jnp.full((self.ring,), n0, c.dtype),
+            norm_ring=jnp.full((self.window,), n0, c.dtype),
             bsum=jnp.abs(u0[-1]).astype(c.dtype),
             prev_u=u0 if self._needs_prev else None,
         )
@@ -169,6 +173,7 @@ class Boundary1DEnv(FunctionalEnv):
     def step(self, state, action, key=None):
         c = self.config
         S = c.sample_rate
+        W = self.window
         nt = c.nt
         control = jnp.asarray(action, c.dtype).reshape(())
 
@@ -176,27 +181,166 @@ class Boundary1DEnv(FunctionalEnv):
         # (NormReward differential indexes uVec[time_index-1], a sub-step row).
         prev0 = state.prev_u if self._needs_prev else state.u[:0]
 
-        def substep(carry, _):
-            u, up, t, bsum = carry
-            active = t < nt - 1
-            u_new, boundary = self._advance(u, state.beta, control)
-            u_new = jnp.where(active, u_new, u)
-            if self._needs_prev:
-                up = jnp.where(active, u, up)
-            t = jnp.where(active, t + 1, t)
-            bsum = jnp.where(active, bsum + jnp.abs(boundary), bsum)
-            return (u_new, up, t, bsum), jnp.linalg.norm(u_new)
+        def make_substep(with_norm):
+            def substep(carry, _):
+                u, up, t, bsum = carry
+                active = t < nt - 1
+                u_new, boundary = self._advance(u, state.beta, control)
+                u_new = jnp.where(active, u_new, u)
+                if self._needs_prev:
+                    up = jnp.where(active, u, up)
+                t = jnp.where(active, t + 1, t)
+                bsum = jnp.where(active, bsum + jnp.abs(boundary), bsum)
+                out = jnp.linalg.norm(u_new) if with_norm else None
+                return (u_new, up, t, bsum), out
 
-        (u, prev_u, t, bsum), norms = jax.lax.scan(
-            substep,
-            (state.u, prev0, state.time_index, state.bsum),
-            None,
-            length=S,
-            unroll=min(c.scan_unroll, S),
-        )
+            return substep
+
+        # Norms (a cross-lane reduction each) are computed only where a reward
+        # can read them: at the reward's declared lag positions when known
+        # (often just 1-2 sub-steps per interval), else for the whole trailing
+        # window of min(W, S) sub-steps. Exact for every fully-executed
+        # interval; on a partial (terminal) interval only lookback entries the
+        # terminal reward never reads can go stale (the current-row norm stays
+        # exact because frozen sub-steps recompute the unchanged row's norm).
+        carry = (state.u, prev0, state.time_index, state.bsum)
+        positions = self.norm_positions
+        if positions is not None:
+            norms = jnp.zeros((S,), c.dtype)
+            start = 0
+            for j in positions:
+                if j > start:
+                    carry, _ = jax.lax.scan(
+                        make_substep(False), carry, None, length=j - start,
+                        unroll=min(c.scan_unroll, j - start),
+                    )
+                carry, n = make_substep(True)(carry, None)
+                norms = norms.at[j].set(n)
+                start = j + 1
+            if S > start:
+                carry, _ = jax.lax.scan(
+                    make_substep(False), carry, None, length=S - start,
+                    unroll=min(c.scan_unroll, S - start),
+                )
+            norms = norms[-min(W, S):]
+        else:
+            S2 = min(W, S)
+            if S > S2:
+                carry, _ = jax.lax.scan(
+                    make_substep(False), carry, None, length=S - S2,
+                    unroll=min(c.scan_unroll, S - S2),
+                )
+            carry, norms = jax.lax.scan(
+                make_substep(True), carry, None, length=S2,
+                unroll=min(c.scan_unroll, S2),
+            )
+        u, prev_u, t, bsum = carry
         executed = t - state.time_index
-        all_n = jnp.concatenate([state.norm_ring, norms])
-        cur_norm = all_n[self.ring + executed - 1]
+        if S > W:
+            trailing = norms[-W:]
+        else:
+            trailing = roll_ring(state.norm_ring, norms, executed)
+        return self._finish(state, u, prev_u, t, bsum, trailing, key)
+
+    @property
+    def norm_positions(self):
+        """Static sub-step offsets (within a full interval) at which per-row
+        norms must be evaluated, derived from the reward's ``required_lags``;
+        None = every sub-step in the trailing window. A lag L read at the end
+        of a full interval lands on offset ``(S-1-L) mod S`` of some interval,
+        and the trailing ring shifts by exactly S per step, so these offset
+        classes are invariant."""
+        lags = getattr(self.reward, "required_lags", None)
+        if lags is None:
+            return None
+        S = self.config.sample_rate
+        J = {(S - 1 - (int(L) % S)) % S for L in lags}
+        J.add(S - 1)
+        return tuple(sorted(J))
+
+    # -- pallas fused-interval path ------------------------------------------
+
+    def _pallas_spec(self):
+        """Subclasses return ``(update_fn, ctrl_transform)`` for the fused
+        VMEM kernel (ops/pallas1d), or None when unsupported (implicit
+        schemes, normalized Neumann control, prev-row rewards)."""
+        return None
+
+    def _get_interval_fn(self):
+        fn = getattr(self, "_interval_fn", None)
+        if fn is None:
+            from pdecontrolgym_tpu.ops.pallas1d import make_interval_fn
+
+            spec = self._pallas_spec()
+            if spec is None:
+                self._interval_fn = False
+                return False
+            update_fn, self._ctrl_transform = spec
+            c = self.config
+            fn = make_interval_fn(
+                update_fn,
+                sample_rate=c.sample_rate,
+                nt=c.nt,
+                state_dim=self.state_dim,
+                window=self.window,
+                norm_positions=self.norm_positions,
+                interpret=jax.default_backend() == "cpu",
+            )
+            self._interval_fn = fn
+        return fn
+
+    def step_batch(self, state, actions, keys=None):
+        """Step a whole ``(B, ...)`` batch. Uses the fused Pallas kernel when
+        ``config.backend == 'pallas'`` and the env supports it, else vmap."""
+        use_pallas = (
+            self.config.backend == "pallas"
+            and not self._needs_prev
+            and self._get_interval_fn() is not False
+        )
+        if not use_pallas:
+            if keys is None:
+                return jax.vmap(lambda s, a: self.step(s, a))(state, actions)
+            return jax.vmap(self.step)(state, actions, keys)
+
+        c = self.config
+        S, W = c.sample_rate, self.window
+        ctrl = jax.vmap(self._ctrl_transform)(
+            jnp.asarray(actions, c.dtype).reshape(-1)
+        )[:, None]
+        u, norms_win, bsum_add, t_new = self._interval_fn(
+            state.u, state.beta, ctrl, state.time_index[:, None]
+        )
+        bsum = state.bsum + bsum_add[:, 0]
+        t = t_new[:, 0]
+        if S <= W:
+            # the cyclic buffer holds all S norms in order; splice with the
+            # carried window exactly like the XLA path
+            executed = t - state.time_index
+            trailing = jax.vmap(roll_ring)(
+                state.norm_ring, norms_win[:, :S], executed
+            )
+        else:
+            Wp = norms_win.shape[1]
+            idx = jnp.asarray([(S - W + i) % Wp for i in range(W)])
+            trailing = norms_win[:, idx]
+        if keys is None:
+            return jax.vmap(
+                lambda st, uu, tt, bs, nn: self._finish(st, uu, None, tt, bs, nn, None)
+            )(state, u, t, bsum, trailing)
+        return jax.vmap(
+            lambda st, uu, tt, bs, nn, kk: self._finish(st, uu, None, tt, bs, nn, kk)
+        )(state, u, t, bsum, trailing, keys)
+
+    # -- shared step tail -----------------------------------------------------
+
+    def _finish(self, state, u, prev_u, t, bsum, trailing, key):
+        """Shared step tail. ``trailing`` is the trailing-norm window:
+        ``trailing[-1]`` = current row's L2 norm, ``trailing[-1-k]`` = k
+        sub-steps earlier."""
+        c = self.config
+        nt = c.nt
+        executed = t - state.time_index
+        cur_norm = trailing[-1]
 
         terminated = t >= nt - 1  # hyperbolic.py:171-180
         truncated = jnp.logical_and(  # hyperbolic.py:182-194
@@ -210,9 +354,9 @@ class Boundary1DEnv(FunctionalEnv):
             terminated=terminated,
             truncated=truncated,
             action=u[-1],
-            norms=all_n,
+            norms=trailing,
             bsum=bsum,
-            ring=self.ring,
+            ring=self.window,
             extras={"prev_u": prev_u} if self._needs_prev else None,
         )
         reward = self.reward(ctx)
@@ -220,7 +364,7 @@ class Boundary1DEnv(FunctionalEnv):
         new_state = state.replace(
             u=u,
             time_index=t,
-            norm_ring=roll_ring(state.norm_ring, norms, executed),
+            norm_ring=trailing,
             bsum=bsum,
             prev_u=prev_u if self._needs_prev else None,
         )

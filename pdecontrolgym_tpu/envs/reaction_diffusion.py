@@ -94,6 +94,26 @@ class ReactionDiffusionEnv(Boundary1DEnv):
         rhs = rhs.at[0].set(0.0).at[-1].set(boundary)
         return thomas(lower, diag, upper, rhs)
 
+    def _pallas_spec(self):
+        from pdecontrolgym_tpu.core.sensing import is_neumann
+        from pdecontrolgym_tpu.ops.pallas1d import reaction_diffusion_update
+
+        c = self.config
+        if getattr(c, "scheme", "explicit") != "explicit":
+            return None
+        neumann = is_neumann(c.control_type)
+        if neumann and c.normalize:
+            # normalize() wraps the state-dependent Neumann update; not
+            # expressible as a constant per-interval control — XLA fallback
+            return None
+        update = reaction_diffusion_update(c.dt, c.dx, self.state_dim, neumann)
+        if neumann:
+            ctrl = lambda control: control
+        else:
+            zero = jnp.zeros((), c.dtype)
+            ctrl = lambda control: self._control_fn(control, zero)
+        return update, ctrl
+
     def default_ic(self, key):
         """Flat IC of height U(1,10) and β(x) = 50·cos(8·acos x) on the
         ghost-point grid (``reactionDiffusion1DBackstepping.py:42-48``)."""

@@ -34,6 +34,18 @@ class TransportEnv(Boundary1DEnv):
         u_new = jnp.concatenate([interior, boundary[None]])
         return u_new, boundary
 
+    def _pallas_spec(self):
+        from pdecontrolgym_tpu.ops.pallas1d import transport_update
+
+        c = self.config
+        # the boundary value is constant over the interval for BOTH control
+        # types (the Neumann neighbor reads the new row's still-zero [-2])
+        zero = jnp.zeros((), c.dtype)
+        return (
+            transport_update(c.dt, c.dx, self.state_dim),
+            lambda control: self._control_fn(control, zero),
+        )
+
     def default_ic(self, key):
         """Mirrors the benchmark example's samplers: a flat IC of height
         U(1, 10) and the Chebyshev recirculation β(x) = 5·cos(7.35·acos x)

@@ -26,16 +26,33 @@ def batch_init(env, num_envs: int):
 
 
 def batch_step(env, autoreset: bool = True):
-    """Returns ``step(state, actions, key) -> (state, StepOut)`` (batched)."""
+    """Returns ``step(state, actions, key) -> (state, StepOut)`` (batched).
 
-    if autoreset:
-        def step(state, actions, key):
-            n = jax.tree_util.tree_leaves(state)[0].shape[0]
-            keys = jax.random.split(key, n)
-            return jax.vmap(env.autoreset_step)(state, actions, keys)
-    else:
-        def step(state, actions, key):
-            return jax.vmap(env.step)(state, actions)
+    Prefers the env's fused ``step_batch`` (the Pallas VMEM-interval kernel
+    when enabled) over per-env vmap; autoreset is applied generically on top.
+    """
+    has_batch = hasattr(env, "step_batch")
+
+    def raw_step(state, actions):
+        if has_batch:
+            return env.step_batch(state, actions)
+        return jax.vmap(env.step)(state, actions)
+
+    if not autoreset:
+        return lambda state, actions, key: raw_step(state, actions)
+
+    def step(state, actions, key):
+        next_state, out = raw_step(state, actions)
+        n = jax.tree_util.tree_leaves(state)[0].shape[0]
+        fresh_state, fresh_obs = jax.vmap(env.init)(jax.random.split(key, n))
+        done = jnp.logical_or(out.terminated, out.truncated)
+
+        def sel(a, b):
+            d = done.reshape(done.shape + (1,) * (a.ndim - done.ndim))
+            return jnp.where(d, a, b)
+
+        new_state = jax.tree_util.tree_map(sel, fresh_state, next_state)
+        return new_state, out.replace(obs=sel(fresh_obs, out.obs))
 
     return step
 

@@ -30,6 +30,14 @@ class BaseReward:
     def ring_requirement(self) -> int:
         return 1
 
+    @property
+    def required_lags(self):
+        """The exact norm lags this reward reads (e.g. ``(0, 100)``), or None
+        meaning "any lag up to ring_requirement". Declaring them lets the env
+        skip the cross-lane norm reduction on every other sub-step — the
+        single largest cost in the 1D hot loop."""
+        return None
+
     def __call__(self, ctx: RewardCtx) -> jnp.ndarray:
         raise NotImplementedError
 

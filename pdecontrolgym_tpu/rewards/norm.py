@@ -69,6 +69,12 @@ class NormReward(BaseReward):
         return 1
 
     @property
+    def required_lags(self):
+        if self.horizon == "t-horizon":
+            return tuple(range(self.t_horizon_length))
+        return (0,)
+
+    @property
     def needs_prev_row(self) -> bool:
         # L2 differential can be served by the norm ring only when comparing
         # rows, not norms — the difference norm always needs the previous row.
@@ -83,11 +89,10 @@ class NormReward(BaseReward):
             prev_u = ctx.extras["prev_u"]
             diff = _vec_norm(ctx.u - prev_u, str(self.norm)) / self.norm_coeff
             running = jnp.where(ctx.time_index > 0, diff, -cur_norm / self.norm_coeff)
-        else:  # t-horizon (L2 ring; other norms fall back to current row)
+        else:  # t-horizon (L2 trailing window; see RewardCtx.norms)
             h = self.t_horizon_length
-            idx = ctx.ring + ctx.executed - 1
             lags = jnp.arange(h)
-            vals = ctx.norms[idx - lags]
+            vals = ctx.norms[-1 - lags]
             count = jnp.minimum(jnp.maximum(ctx.time_index, 1), h)
             mask = lags < count
             running = -jnp.sum(jnp.where(mask, vals, 0.0)) / count / self.norm_coeff

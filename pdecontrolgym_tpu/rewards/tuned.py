@@ -35,6 +35,10 @@ class TunedReward1D(BaseReward):
     def ring_requirement(self) -> int:
         return self.lookback
 
+    @property
+    def required_lags(self):
+        return (0, self.lookback)
+
     def __call__(self, ctx: RewardCtx) -> jnp.ndarray:
         cur = ctx.cur_norm
         prev = ctx.norm_at_lag(self.lookback)
