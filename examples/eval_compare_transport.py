@@ -1,0 +1,63 @@
+"""Compare controllers on 1D transport: backstepping vs PPO vs random.
+
+TPU-native ``examples/transportPDE/transport1DtestAlgorithm.py``: N evaluation
+episodes run as one vmapped batch per controller. Trains a quick PPO policy
+in-process (pass --ppo-iters 0 to skip).
+"""
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+
+from pdecontrolgym_tpu.agents.backstepping import transport_control, transport_kernel
+from pdecontrolgym_tpu.agents.ppo import PPOConfig, PPOTrainer
+from pdecontrolgym_tpu.eval import compare_controllers
+from pdecontrolgym_tpu.envs.common import Boundary1DConfig
+from pdecontrolgym_tpu.envs.transport import TransportEnv
+from pdecontrolgym_tpu.rewards.tuned import TunedReward1D
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--episodes", type=int, default=50)
+    ap.add_argument("--ppo-iters", type=int, default=150)
+    args = ap.parse_args()
+
+    cfg = Boundary1DConfig(
+        T=5.0, dt=1e-4, X=1.0, dx=1e-2, control_sample_rate=0.1,
+        limit_pde_state_size=True, max_state_value=1e10,
+    )
+    nx = cfg.nx
+    env = TransportEnv(cfg, TunedReward1D(int(round(cfg.T / cfg.dt)), -1e3, 3e2))
+
+    spatial = jnp.linspace(cfg.dx, cfg.X, nx)
+    kern = transport_kernel(
+        (5 * jnp.cos(7.35 * jnp.arccos(jnp.clip(spatial, -1, 1)))).astype(jnp.float32),
+        cfg.dx,
+    )
+    controllers = {
+        "backstepping": lambda o, k: jax.vmap(
+            lambda ob: transport_control(kern, ob, cfg.dx)
+        )(o),
+        "zero": lambda o, k: jnp.zeros(o.shape[0]),
+    }
+
+    if args.ppo_iters > 0:
+        trainer = PPOTrainer(env, PPOConfig(num_envs=512, num_steps=16,
+                                            num_minibatches=8, ent_coef=1e-3))
+        runner = trainer.train(jax.random.key(0), args.ppo_iters, log_every=50,
+                               callback=lambda it, m: print(
+                                   f"  ppo iter {it}: {m['mean_reward']:+.3f}",
+                                   flush=True))
+        controllers["ppo"] = trainer.policy(runner.params)
+
+    results = compare_controllers(env, controllers, num_episodes=args.episodes,
+                                  max_steps=50)
+    print(f"\n{'controller':>14} | {'mean return':>12} | {'std':>8}")
+    for name, r in sorted(results.items(), key=lambda kv: -kv[1]["mean_return"]):
+        print(f"{name:>14} | {r['mean_return']:12.2f} | {r['std_return']:8.2f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,297 @@
+"""On-device SAC — TPU-native counterpart of the reference's SB3 SAC usage
+(``examples/transportPDE/transport1Dsac.py``, ``reactionDiffusion1Dsac.py``,
+``NavierStokes/NS2Dsac.py``).
+
+Everything lives in one jitted train step: a device-resident circular replay
+buffer, tanh-squashed Gaussian actor, twin Q critics with target polyak
+averaging, and learnable temperature. Env interaction and gradient updates
+share the device; nothing crosses the host boundary during training.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import linen as nn
+from flax import struct
+
+
+@dataclasses.dataclass(frozen=True)
+class SACConfig:
+    lr: float = 3e-4
+    num_envs: int = 64
+    buffer_size: int = 100_000
+    batch_size: int = 256
+    gamma: float = 0.99
+    tau: float = 0.005
+    steps_per_iter: int = 8  # env steps collected per train iteration
+    updates_per_iter: int = 8
+    hidden: tuple = (128, 128)
+    init_alpha: float = 0.1
+    learn_alpha: bool = True
+    action_low: float = -1.0
+    action_high: float = 1.0
+
+
+class Actor(nn.Module):
+    action_dim: int
+    hidden: tuple
+
+    @nn.compact
+    def __call__(self, obs):
+        x = obs
+        for h in self.hidden:
+            x = nn.relu(nn.Dense(h)(x))
+        mean = nn.Dense(self.action_dim)(x)
+        log_std = jnp.clip(nn.Dense(self.action_dim)(x), -5.0, 2.0)
+        return mean, log_std
+
+
+class Critic(nn.Module):
+    hidden: tuple
+
+    @nn.compact
+    def __call__(self, obs, action):
+        x = jnp.concatenate([obs, action], axis=-1)
+        for h in self.hidden:
+            x = nn.relu(nn.Dense(h)(x))
+        return nn.Dense(1)(x).squeeze(-1)
+
+
+class TwinCritic(nn.Module):
+    hidden: tuple
+
+    @nn.compact
+    def __call__(self, obs, action):
+        return (
+            Critic(self.hidden)(obs, action),
+            Critic(self.hidden)(obs, action),
+        )
+
+
+def _squash(mean, log_std, key):
+    std = jnp.exp(log_std)
+    eps = jax.random.normal(key, mean.shape)
+    pre = mean + std * eps
+    act = jnp.tanh(pre)
+    logp = jnp.sum(
+        -0.5 * eps**2 - log_std - 0.5 * jnp.log(2 * jnp.pi)
+        - jnp.log(1.0 - act**2 + 1e-6),
+        axis=-1,
+    )
+    return act, logp
+
+
+@struct.dataclass
+class Buffer:
+    obs: jnp.ndarray
+    action: jnp.ndarray
+    reward: jnp.ndarray
+    next_obs: jnp.ndarray
+    done: jnp.ndarray
+    ptr: jnp.ndarray
+    size: jnp.ndarray
+
+
+@struct.dataclass
+class SACRunner:
+    actor_params: Any
+    critic_params: Any
+    target_params: Any
+    log_alpha: jnp.ndarray
+    opt_states: Any
+    buffer: Buffer
+    env_state: Any
+    obs: jnp.ndarray
+    key: jax.Array
+
+
+class SACTrainer:
+    def __init__(self, env, config: SACConfig = SACConfig()):
+        self.env = env
+        self.cfg = config
+        self.adim = env.action_dim
+        self.actor = Actor(self.adim, config.hidden)
+        self.critic = TwinCritic(config.hidden)
+        self.tx = optax.adam(config.lr)
+        self.target_entropy = -float(self.adim)
+
+    def _scale(self, a):
+        c = self.cfg
+        return c.action_low + 0.5 * (a + 1.0) * (c.action_high - c.action_low)
+
+    def init(self, key: jax.Array) -> SACRunner:
+        cfg = self.cfg
+        key, k1, k2, k3 = jax.random.split(key, 4)
+        env_state, obs = jax.vmap(self.env.init)(
+            jax.random.split(k3, cfg.num_envs)
+        )
+        odim = obs.shape[-1]
+        actor_params = self.actor.init(k1, obs[:1])
+        critic_params = self.critic.init(k2, obs[:1], jnp.zeros((1, self.adim)))
+        log_alpha = jnp.log(jnp.asarray(cfg.init_alpha))
+        opt_states = (
+            self.tx.init(actor_params),
+            self.tx.init(critic_params),
+            self.tx.init(log_alpha),
+        )
+        n = cfg.buffer_size
+        buffer = Buffer(
+            obs=jnp.zeros((n, odim)),
+            action=jnp.zeros((n, self.adim)),
+            reward=jnp.zeros((n,)),
+            next_obs=jnp.zeros((n, odim)),
+            done=jnp.zeros((n,), jnp.bool_),
+            ptr=jnp.zeros((), jnp.int32),
+            size=jnp.zeros((), jnp.int32),
+        )
+        return SACRunner(
+            actor_params=actor_params,
+            critic_params=critic_params,
+            target_params=critic_params,
+            log_alpha=log_alpha,
+            opt_states=opt_states,
+            buffer=buffer,
+            env_state=env_state,
+            obs=obs,
+            key=key,
+        )
+
+    def make_train_step(self):
+        return jax.jit(self._train_step)
+
+    def _collect(self, runner: SACRunner, key):
+        cfg = self.cfg
+
+        def env_step(carry, step_key):
+            env_state, obs, buffer = carry
+            a_key, r_key = jax.random.split(step_key)
+            mean, log_std = self.actor.apply(runner.actor_params, obs)
+            act, _ = _squash(mean, log_std, a_key)
+            env_action = self._scale(act)
+            ea = env_action[:, 0] if self.adim == 1 else env_action
+            env_state, out = jax.vmap(self.env.autoreset_step)(
+                env_state, ea, jax.random.split(r_key, cfg.num_envs)
+            )
+            done = jnp.logical_or(out.terminated, out.truncated)
+            idx = (buffer.ptr + jnp.arange(cfg.num_envs)) % cfg.buffer_size
+            buffer = buffer.replace(
+                obs=buffer.obs.at[idx].set(obs),
+                action=buffer.action.at[idx].set(act),
+                reward=buffer.reward.at[idx].set(out.reward),
+                next_obs=buffer.next_obs.at[idx].set(out.obs),
+                done=buffer.done.at[idx].set(done),
+                ptr=(buffer.ptr + cfg.num_envs) % cfg.buffer_size,
+                size=jnp.minimum(buffer.size + cfg.num_envs, cfg.buffer_size),
+            )
+            return (env_state, out.obs, buffer), out.reward
+
+        keys = jax.random.split(key, cfg.steps_per_iter)
+        (env_state, obs, buffer), rews = jax.lax.scan(
+            env_step, (runner.env_state, runner.obs, runner.buffer), keys
+        )
+        return env_state, obs, buffer, rews.mean()
+
+    def _update(self, runner: SACRunner, buffer: Buffer, key):
+        cfg = self.cfg
+
+        def one_update(carry, up_key):
+            actor_params, critic_params, target_params, log_alpha, opts = carry
+            s_key, a_key, a2_key = jax.random.split(up_key, 3)
+            idx = jax.random.randint(s_key, (cfg.batch_size,), 0, buffer.size)
+            batch = jax.tree_util.tree_map(
+                lambda x: x[idx] if x.ndim else x,
+                (buffer.obs, buffer.action, buffer.reward, buffer.next_obs,
+                 buffer.done),
+            )
+            obs, act, rew, nobs, done = batch
+            alpha = jnp.exp(log_alpha)
+
+            # critic target
+            nmean, nlstd = self.actor.apply(actor_params, nobs)
+            nact, nlogp = _squash(nmean, nlstd, a2_key)
+            q1t, q2t = self.critic.apply(target_params, nobs, nact)
+            target = rew + cfg.gamma * (1.0 - done) * (
+                jnp.minimum(q1t, q2t) - alpha * nlogp
+            )
+            target = jax.lax.stop_gradient(target)
+
+            def critic_loss(cp):
+                q1, q2 = self.critic.apply(cp, obs, act)
+                return jnp.mean((q1 - target) ** 2 + (q2 - target) ** 2)
+
+            closs, cgrads = jax.value_and_grad(critic_loss)(critic_params)
+            cupd, copt = self.tx.update(cgrads, opts[1], critic_params)
+            critic_params = optax.apply_updates(critic_params, cupd)
+
+            def actor_loss(ap):
+                mean, lstd = self.actor.apply(ap, obs)
+                a, logp = _squash(mean, lstd, a_key)
+                q1, q2 = self.critic.apply(critic_params, obs, a)
+                return jnp.mean(alpha * logp - jnp.minimum(q1, q2)), logp
+
+            (aloss, logp), agrads = jax.value_and_grad(actor_loss, has_aux=True)(
+                actor_params
+            )
+            aupd, aopt = self.tx.update(agrads, opts[0], actor_params)
+            actor_params = optax.apply_updates(actor_params, aupd)
+
+            if cfg.learn_alpha:
+                def alpha_loss(la):
+                    return -jnp.mean(
+                        jnp.exp(la) * jax.lax.stop_gradient(logp + self.target_entropy)
+                    )
+
+                _, lgrad = jax.value_and_grad(alpha_loss)(log_alpha)
+                lupd, lopt = self.tx.update(lgrad, opts[2], log_alpha)
+                log_alpha = optax.apply_updates(log_alpha, lupd)
+            else:
+                lopt = opts[2]
+
+            target_params = jax.tree_util.tree_map(
+                lambda t, s: (1.0 - cfg.tau) * t + cfg.tau * s,
+                target_params, critic_params,
+            )
+            return (actor_params, critic_params, target_params, log_alpha,
+                    (aopt, copt, lopt)), (closs, aloss)
+
+        keys = jax.random.split(key, cfg.updates_per_iter)
+        carry = (runner.actor_params, runner.critic_params,
+                 runner.target_params, runner.log_alpha, runner.opt_states)
+        carry, losses = jax.lax.scan(one_update, carry, keys)
+        return carry, losses
+
+    def _train_step(self, runner: SACRunner):
+        key, c_key, u_key = jax.random.split(runner.key, 3)
+        env_state, obs, buffer, mean_rew = self._collect(runner, c_key)
+        (ap, cp, tp, la, opts), (closs, aloss) = self._update(
+            runner.replace(buffer=buffer), buffer, u_key
+        )
+        new_runner = SACRunner(
+            actor_params=ap, critic_params=cp, target_params=tp,
+            log_alpha=la, opt_states=opts, buffer=buffer,
+            env_state=env_state, obs=obs, key=key,
+        )
+        metrics = {
+            "mean_reward": mean_rew,
+            "critic_loss": closs.mean(),
+            "actor_loss": aloss.mean(),
+            "alpha": jnp.exp(la),
+        }
+        return new_runner, metrics
+
+    def policy(self, actor_params, deterministic: bool = True):
+        def act(obs, key=None):
+            mean, log_std = self.actor.apply(actor_params, obs)
+            if deterministic or key is None:
+                a = jnp.tanh(mean)
+            else:
+                a, _ = _squash(mean, log_std, key)
+            a = self._scale(a)
+            return a[..., 0] if self.adim == 1 else a
+
+        return act
