@@ -45,7 +45,8 @@ def main():
 
     if args.ppo_iters > 0:
         trainer = PPOTrainer(env, PPOConfig(num_envs=512, num_steps=16,
-                                            num_minibatches=8, ent_coef=1e-3))
+                                            num_minibatches=8, ent_coef=1e-3,
+                                            reward_scale=0.02))
         runner = trainer.train(jax.random.key(0), args.ppo_iters, log_every=50,
                                callback=lambda it, m: print(
                                    f"  ppo iter {it}: {m['mean_reward']:+.3f}",

@@ -47,6 +47,10 @@ class PPOConfig:
     vf_coef: float = 0.5
     max_grad_norm: float = 0.5
     hidden: tuple = (128, 128)
+    # PDE-control rewards are O(100); scaling keeps the value loss from
+    # drowning the policy gradient (SB3 users typically wrap VecNormalize)
+    reward_scale: float = 1.0
+    obs_clip: float = 0.0  # >0: clip observations to [-obs_clip, obs_clip]
 
 
 @struct.dataclass
@@ -148,8 +152,11 @@ class PPOTrainer:
                 env_state, env_action, reset_keys
             )
             done = jnp.logical_or(out.terminated, out.truncated)
-            data = (obs, action, logp, value, out.reward, done)
-            return (env_state, out.obs), data
+            next_obs = out.obs
+            if cfg.obs_clip > 0:
+                next_obs = jnp.clip(next_obs, -cfg.obs_clip, cfg.obs_clip)
+            data = (obs, action, logp, value, out.reward * cfg.reward_scale, done)
+            return (env_state, next_obs), data
 
         step_keys = jax.random.split(rollout_key, cfg.num_steps)
         (env_state, last_obs), traj = jax.lax.scan(

@@ -49,6 +49,11 @@ class Boundary1DConfig:
     dtype: Any = jnp.float32
     backend: str = "xla"  # "xla" (lax.scan) or "pallas" (fused VMEM kernel)
     scan_unroll: int = 8
+    # Divergence masking (SURVEY §5 failure detection): a non-finite state
+    # truncates the episode instead of silently propagating NaNs through the
+    # lockstep batch. Off by default for reference parity (NumPy comparisons
+    # with NaN are False, so the reference keeps stepping).
+    truncate_on_nonfinite: bool = False
 
     @property
     def nt(self) -> int:
@@ -346,6 +351,8 @@ class Boundary1DEnv(FunctionalEnv):
         truncated = jnp.logical_and(  # hyperbolic.py:182-194
             bool(c.limit_pde_state_size), cur_norm >= c.max_state_value
         )
+        if c.truncate_on_nonfinite:
+            truncated = jnp.logical_or(truncated, ~jnp.isfinite(cur_norm))
 
         ctx = RewardCtx(
             u=u,

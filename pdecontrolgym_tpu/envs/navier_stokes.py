@@ -28,7 +28,13 @@ import jax.numpy as jnp
 from flax import struct
 
 from pdecontrolgym_tpu.core.base import FunctionalEnv, RewardCtx, StepOut
-from pdecontrolgym_tpu.ops.poisson2d import ddx, ddy, jacobi_pressure, laplacian
+from pdecontrolgym_tpu.ops.poisson2d import (
+    ddx,
+    ddy,
+    jacobi_pressure,
+    jacobi_pressure_flat,
+    laplacian,
+)
 
 _EDGES = ("lower", "upper", "left", "right")
 _CONDITIONS = ("Neumann", "Dirchilet", "Dirichlet", "Controllable")
@@ -49,6 +55,7 @@ class NavierStokesConfig:
     stable_factor: float = 0.5
     normalize: bool = False
     dtype: Any = jnp.float64
+    pressure_layout: str = "grid"  # "grid" (parity) | "flat" (lane-flattened)
     # per-edge (u_condition, v_condition) ordered (lower, upper, left, right);
     # default mirrors the examples' dict: controllable lid at the upper edge
     # (``NS2Dppo.py:21-26``). Use freeze_boundary_condition() to convert a dict.
@@ -187,7 +194,12 @@ class NavierStokesEnv(FunctionalEnv):
 
     def solve_pressure(self, u, v, p_prev, iters: Optional[int] = None):
         c = self.config
-        return jacobi_pressure(
+        solver = (
+            jacobi_pressure_flat
+            if getattr(c, "pressure_layout", "grid") == "flat"
+            else jacobi_pressure
+        )
+        return solver(
             u, v, p_prev, c.dx, c.dy, c.dt, c.density,
             iters if iters is not None else c.maximum_pressure_iteration,
         )

@@ -39,3 +39,24 @@ def shard_batch(tree, mesh: Mesh):
     """Device-put a batch pytree with its leading axis sharded over the mesh."""
     sh = env_sharding(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+def multihost_env_mesh(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> Mesh:
+    """Initialize multi-host JAX (DCN between hosts, ICI within a slice) and
+    return the global env mesh. On a single host this is just :func:`env_mesh`.
+
+    Each host steps its env shard in lockstep; the learner's gradients
+    ``pmean`` across the whole mesh (agents/ppo.py), which XLA lowers to ICI
+    collectives intra-slice and DCN allreduce across hosts.
+    """
+    if coordinator_address is not None:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    return env_mesh()

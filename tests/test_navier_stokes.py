@@ -145,3 +145,31 @@ def test_batched_vmap_ns():
     state, out = jax.jit(jax.vmap(env.step))(state, actions)
     assert out.obs.shape == (B, N, N, 2)
     assert np.isfinite(np.asarray(out.reward)).all()
+
+
+def test_flat_pressure_layout_matches_grid():
+    from pdecontrolgym_tpu.ops.poisson2d import jacobi_pressure, jacobi_pressure_flat
+
+    rng = np.random.default_rng(7)
+    u = rng.normal(size=(3, 21, 21))
+    v = rng.normal(size=(3, 21, 21))
+    p = rng.normal(size=(3, 21, 21))
+    a = np.asarray(jacobi_pressure(u, v, p, 0.05, 0.05, 1e-3, 1.0, 150))
+    b = np.asarray(jacobi_pressure_flat(u, v, p, 0.05, 0.05, 1e-3, 1.0, 150))
+    np.testing.assert_allclose(a, b, rtol=1e-12, atol=1e-12)
+
+    # full env step equality under the flat layout
+    U_ref, action_ref = _refs()
+    env_g = _tpu_env(U_ref, action_ref, iters=80)
+    import dataclasses
+    env_f = NavierStokesEnv(
+        dataclasses.replace(env_g.config, pressure_layout="flat"),
+        env_g.reward, U_ref, action_ref,
+    )
+    u0, v0, p0 = _ic()
+    sg, og = env_g.init_from(u0, v0, p0)
+    sf, of = env_f.init_from(u0, v0, p0)
+    for _ in range(3):
+        sg, outg = jax.jit(env_g.step)(sg, jnp.asarray([2.0]))
+        sf, outf = jax.jit(env_f.step)(sf, jnp.asarray([2.0]))
+    np.testing.assert_allclose(np.asarray(outg.obs), np.asarray(outf.obs), rtol=1e-12)

@@ -113,3 +113,16 @@ def test_rollout_uses_step_batch():
     )(jax.random.key(3))
     assert outs.reward.shape == (7, 8)
     assert np.asarray(outs.terminated)[4].all()  # 5 steps to terminate, then autoreset
+
+
+def test_nonfinite_truncation_masking():
+    cfg = Boundary1DConfig(
+        T=1.0, dt=1e-2, X=1.0, dx=1.0 / 16, control_sample_rate=0.1,
+        truncate_on_nonfinite=True, limit_pde_state_size=False,
+    )
+    env = TransportEnv(cfg, TunedReward1D(100, -1e3, 3e2, lookback=5))
+    state, _ = env.init_from(
+        np.full(16, np.nan, np.float32), np.zeros(16, np.float32)
+    )
+    state, out = jax.jit(env.step)(state, jnp.float32(0.0))
+    assert bool(out.truncated)
