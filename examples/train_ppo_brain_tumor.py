@@ -1,0 +1,81 @@
+"""Train PPO on the glioblastoma therapy-scheduling problem.
+
+The counterpart of the BrainTumor1DExample notebook's RL section (SB3 PPO over
+TherapyWrapper, 1e6 steps, converged ~3e5 per
+``docs/source/environments/braintumor-1d.rst:183-187``). The agent sees the
+tumor density profile each treatment day and chooses the dose fraction; reward
+is survival extension minus clinical toxicity. The staged episode structure
+(growth fast-forward at reset, post-therapy fast-forward at episode end) runs
+inside the jitted TherapyEnv.
+"""
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+
+from pdecontrolgym_tpu.agents.ppo import PPOConfig, PPOTrainer
+from pdecontrolgym_tpu.envs.brain_tumor import (
+    BrainTumorConfig,
+    BrainTumorEnv,
+    TherapyEnv,
+)
+from pdecontrolgym_tpu.rewards.brain_tumor import BrainTumorReward
+
+
+class DoseActionTherapyEnv(TherapyEnv):
+    """Maps the policy's [-1, 1] action onto a dose fraction in [0, 1] and
+    normalizes the observed density by the carrying capacity."""
+
+    def init(self, key, t_benchmark=None):
+        state, obs = super().init(key, t_benchmark)
+        return state, obs / self.config.k
+
+    def step(self, state, action, key=None):
+        dose = jnp.clip((jnp.asarray(action) + 1.0) / 2.0, 0.0, 1.0)
+        state, out = super().step(state, dose, key)
+        return state, out.replace(obs=out.obs / self.config.k)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iterations", type=int, default=150)
+    args = ap.parse_args()
+
+    cfg = BrainTumorConfig(total_dosage=61.2)
+    base = BrainTumorEnv(cfg, BrainTumorReward())
+    tb = int(jax.jit(TherapyEnv(base).benchmark)(jax.random.key(0)))
+    print(f"baseline survival (t_benchmark): {tb} days")
+    env = DoseActionTherapyEnv(base, t_benchmark=tb)
+
+    trainer = PPOTrainer(
+        env,
+        PPOConfig(num_envs=64, num_steps=40, num_epochs=4, num_minibatches=4,
+                  reward_scale=0.05, ent_coef=1e-3),
+    )
+    runner = trainer.init(jax.random.key(0))
+    step = trainer.make_train_step()
+    for it in range(args.iterations):
+        runner, m = step(runner)
+        if it % 10 == 0 or it == args.iterations - 1:
+            m = jax.device_get(m)
+            print(f"iter {it:4d}  mean_step_reward {m['mean_reward']:+.4f}",
+                  flush=True)
+
+    # evaluate the learned schedule on one episode
+    policy = trainer.policy(runner.params)
+    state, obs = env.init(jax.random.key(42))
+    done, total = False, 0.0
+    stepf = jax.jit(env.step)
+    while not done:
+        a = policy(obs[None])[0]
+        state, out = stepf(state, a)
+        obs = out.obs
+        total += float(out.reward)
+        done = bool(out.terminated) or bool(out.truncated)
+    print(f"learned schedule: survival {int(state.simulation_days)} days "
+          f"({int(state.simulation_days) - tb:+d} vs baseline), return {total:.1f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -290,13 +290,25 @@ class TherapyEnv(FunctionalEnv):
     (``brain_tumor_env.py:386-506``): hides Growth inside ``init`` and
     Post-Therapy inside ``step``; optional forced weekends."""
 
-    def __init__(self, env: BrainTumorEnv, weekends: bool = False):
+    def __init__(self, env: BrainTumorEnv, weekends: bool = False,
+                 t_benchmark: Optional[int] = None):
         self.env = env
         self.weekends = weekends
+        # baked baseline survival so autoreset episodes carry it (compute once
+        # via .benchmark(), like the reference's explicit benchmark() call)
+        self.t_benchmark = t_benchmark
 
     @property
     def config(self):
         return self.env.config
+
+    @property
+    def obs_dim(self):
+        return self.env.obs_dim
+
+    @property
+    def action_dim(self):
+        return 1
 
     def _fast_forward(self, state, stop_in_stage):
         """Zero-action steps until the env leaves ``stop_in_stage`` or ends."""
@@ -316,6 +328,8 @@ class TherapyEnv(FunctionalEnv):
         return jax.lax.while_loop(cond, body, (state0, out0))
 
     def init(self, key, t_benchmark=None):
+        if t_benchmark is None:
+            t_benchmark = self.t_benchmark
         state, _ = self.env.init(key, t_benchmark)
         state, out = self._fast_forward(state, GROWTH)
         return state, out.obs
