@@ -67,7 +67,11 @@ def _build_burgers(num_envs):
 def bench_env(name, num_envs, repeats=3):
     from pdecontrolgym_tpu.parallel.rollout import rollout
 
-    build = {"transport": _build_transport, "burgers": _build_burgers}[name]
+    build = {
+        "transport": _build_transport,
+        "burgers": _build_burgers,
+        "ns": _build_ns,
+    }[name]
     env, policy, agent_steps, sample_rate = build(num_envs)
 
     # the whole rollout is ONE device program returning a scalar; timing
@@ -86,13 +90,50 @@ def bench_env(name, num_envs, repeats=3):
     return substeps, best
 
 
+def _build_ns(num_envs):
+    """BASELINE config 5: 2D Navier-Stokes 64x64, batched Poisson pressure
+    solve (lane-flattened layout), 200-iteration fast mode."""
+    import numpy as np
+
+    from pdecontrolgym_tpu.envs.navier_stokes import (
+        NavierStokesConfig,
+        NavierStokesEnv,
+        freeze_boundary_condition,
+    )
+    from pdecontrolgym_tpu.rewards.ns import NSReward
+
+    n = 64
+    bc = freeze_boundary_condition({
+        "upper": ["Controllable", "Dirchilet"],
+        "lower": ["Dirchilet", "Dirchilet"],
+        "left": ["Dirchilet", "Dirchilet"],
+        "right": ["Dirchilet", "Dirchilet"],
+    })
+    cfg = NavierStokesConfig(
+        T=0.05, dt=2e-4, X=1.0, dx=1.0 / (n - 1), Y=1.0, dy=1.0 / (n - 1),
+        maximum_pressure_iteration=200, boundary_condition=bc,
+        dtype=jnp.float32, viscosity=0.05, pressure_layout="flat",
+    )
+    env = NavierStokesEnv(
+        cfg, NSReward(0.1),
+        np.zeros((cfg.nt, n, n, 2), np.float32), np.zeros(cfg.nt, np.float32),
+    )
+
+    def policy(obs, _key):
+        return jnp.full((obs.shape[0], 1), 2.0)
+
+    return env, policy, 20, 1  # 20 agent steps, 1 PDE step each
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--envs", type=int, default=4096)
-    ap.add_argument("--only", choices=["transport", "burgers"], default=None)
+    ap.add_argument("--only", choices=["transport", "burgers", "ns"], default=None)
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
 
+    if args.only == "ns":
+        args.envs = min(args.envs, 256)  # 64x64x2 fields; keep HBM sane
     names = [args.only] if args.only else ["transport", "burgers"]
     total_steps, total_time = 0.0, 0.0
     per = {}

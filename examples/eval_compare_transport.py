@@ -24,12 +24,20 @@ def main():
     ap.add_argument("--ppo-iters", type=int, default=150)
     args = ap.parse_args()
 
+    import dataclasses
+
+    # Like the reference testAlgorithm (transport1DtestAlgorithm.py:78-152):
+    # backstepping runs on a normalize=False env, RL policies on
+    # normalize=True envs ([-1,1] actions mapped onto [-20,20]).
     cfg = Boundary1DConfig(
         T=5.0, dt=1e-4, X=1.0, dx=1e-2, control_sample_rate=0.1,
         limit_pde_state_size=True, max_state_value=1e10,
+        max_control_value=20.0,
     )
     nx = cfg.nx
-    env = TransportEnv(cfg, TunedReward1D(int(round(cfg.T / cfg.dt)), -1e3, 3e2))
+    reward = TunedReward1D(int(round(cfg.T / cfg.dt)), -1e3, 3e2)
+    env = TransportEnv(cfg, reward)
+    env_rl = TransportEnv(dataclasses.replace(cfg, normalize=True), reward)
 
     spatial = jnp.linspace(cfg.dx, cfg.X, nx)
     kern = transport_kernel(
@@ -43,18 +51,21 @@ def main():
         "zero": lambda o, k: jnp.zeros(o.shape[0]),
     }
 
+    results = compare_controllers(env, controllers, num_episodes=args.episodes,
+                                  max_steps=50)
+
     if args.ppo_iters > 0:
-        trainer = PPOTrainer(env, PPOConfig(num_envs=512, num_steps=16,
-                                            num_minibatches=8, ent_coef=1e-3,
-                                            reward_scale=0.02))
+        trainer = PPOTrainer(env_rl, PPOConfig(num_envs=512, num_steps=25,
+                                               num_minibatches=8, ent_coef=1e-3,
+                                               reward_scale=0.02, obs_clip=50.0))
         runner = trainer.train(jax.random.key(0), args.ppo_iters, log_every=50,
                                callback=lambda it, m: print(
                                    f"  ppo iter {it}: {m['mean_reward']:+.3f}",
                                    flush=True))
-        controllers["ppo"] = trainer.policy(runner.params)
-
-    results = compare_controllers(env, controllers, num_episodes=args.episodes,
-                                  max_steps=50)
+        results.update(compare_controllers(
+            env_rl, {"ppo": trainer.policy(runner.params)},
+            num_episodes=args.episodes, max_steps=50,
+        ))
     print(f"\n{'controller':>14} | {'mean return':>12} | {'std':>8}")
     for name, r in sorted(results.items(), key=lambda kv: -kv[1]["mean_return"]):
         print(f"{name:>14} | {r['mean_return']:12.2f} | {r['std_return']:8.2f}")

@@ -11,7 +11,7 @@ share the device; nothing crosses the host boundary during training.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp

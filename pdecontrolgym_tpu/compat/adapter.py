@@ -133,14 +133,13 @@ class Boundary1DGymEnv(gym.Env):
         )
 
         self._jit_init = jax.jit(self.fenv.init_from)
-        self._jit_step = jax.jit(self._step_fn)
+        self._jit_step = jax.jit(self.fenv.step)
+        if self._legacy_reward:
+            # legacy reward objects index arbitrary sub-step rows of the
+            # reference-style (nt, n) history buffer — collect them
+            self._jit_step_hist = jax.jit(self.fenv.step_with_history)
         self._state = None
-        # Legacy-reward mode needs the reference-style history buffer.
         self.u = np.zeros((self.nt, self.fenv.state_dim), dtype=np.float32)
-
-    def _step_fn(self, state, action):
-        new_state, out = self.fenv.step(state, action)
-        return new_state, out
 
     @property
     def state_dim(self) -> int:
@@ -168,35 +167,25 @@ class Boundary1DGymEnv(gym.Env):
     def step(self, control):
         control = np.asarray(control, dtype=np.float32).reshape(-1)[0]
         prev_t = self.time_index
-        self._state, out = self._jit_step(self._state, control)
+        if self._legacy_reward:
+            self._state, out, rows = self._jit_step_hist(self._state, control)
+        else:
+            self._state, out = self._jit_step(self._state, control)
         self.time_index = int(self._state.time_index)
         obs = self.sensing_noise_func(np.asarray(out.obs))
         terminate = bool(out.terminated)
         truncate = bool(out.truncated)
         if self._legacy_reward:
-            reward = self._host_reward(prev_t, terminate, truncate)
+            executed = self.time_index - prev_t
+            if executed:
+                self.u[prev_t + 1 : prev_t + 1 + executed] = np.asarray(rows)[:executed]
+            reward = self.reward_class.reward(
+                self.u, self.time_index, terminate, truncate,
+                self.u[self.time_index][-1],
+            )
         else:
             reward = float(out.reward)
         return obs, reward, terminate, truncate, {}
-
-    def _host_reward(self, prev_t, terminate, truncate):
-        # Reconstruct the sub-step rows the legacy reward may index. Only the
-        # rows of the current control interval changed; rerun them on host at
-        # numpy speed (legacy mode is a compatibility path, not the hot path).
-        state = self._state
-        row = np.asarray(state.u)
-        self.u[self.time_index] = row
-        self._legacy_fill(prev_t)
-        return self.reward_class.reward(
-            self.u, self.time_index, terminate, truncate, self.u[self.time_index][-1]
-        )
-
-    def _legacy_fill(self, prev_t):
-        """Subclasses fill intermediate sub-step rows for legacy rewards.
-
-        Default: leave them zero — exact for rewards that only index the
-        current row and step boundaries (e.g. step-boundary NormReward use).
-        """
 
     def terminate(self):
         return self.time_index >= self.nt - 1

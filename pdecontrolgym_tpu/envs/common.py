@@ -247,6 +247,38 @@ class Boundary1DEnv(FunctionalEnv):
             trailing = roll_ring(state.norm_ring, norms, executed)
         return self._finish(state, u, prev_u, t, bsum, trailing, key)
 
+    def step_with_history(self, state, action, key=None):
+        """Like :meth:`step`, additionally returning every sub-step row
+        ``(S, state_dim)`` of the interval. Used by the Gymnasium adapter to
+        maintain the reference-style full history buffer for legacy reward
+        objects; not a hot path."""
+        c = self.config
+        S, nt = c.sample_rate, c.nt
+        control = jnp.asarray(action, c.dtype).reshape(())
+        prev0 = state.prev_u if self._needs_prev else state.u[:0]
+
+        def substep(carry, _):
+            u, up, t, bsum = carry
+            active = t < nt - 1
+            u_new, boundary = self._advance(u, state.beta, control)
+            u_new = jnp.where(active, u_new, u)
+            if self._needs_prev:
+                up = jnp.where(active, u, up)
+            t = jnp.where(active, t + 1, t)
+            bsum = jnp.where(active, bsum + jnp.abs(boundary), bsum)
+            return (u_new, up, t, bsum), (u_new, jnp.linalg.norm(u_new))
+
+        (u, prev_u, t, bsum), (rows, norms) = jax.lax.scan(
+            substep, (state.u, prev0, state.time_index, state.bsum), None, length=S
+        )
+        executed = t - state.time_index
+        if S > self.window:
+            trailing = norms[-self.window:]
+        else:
+            trailing = roll_ring(state.norm_ring, norms, executed)
+        new_state, out = self._finish(state, u, prev_u, t, bsum, trailing, key)
+        return new_state, out, rows
+
     @property
     def norm_positions(self):
         """Static sub-step offsets (within a full interval) at which per-row

@@ -20,7 +20,7 @@ Two schemes:
 from __future__ import annotations
 
 import dataclasses
-from typing import Any
+
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,6 @@ transport / reaction-diffusion / Burgers share one kernel skeleton. Masking
 
 from __future__ import annotations
 
-import functools
 from typing import Callable
 
 import jax

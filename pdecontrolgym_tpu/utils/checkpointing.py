@@ -10,7 +10,7 @@ exact resume point of the lockstep simulation.
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import orbax.checkpoint as ocp

@@ -89,3 +89,28 @@ def test_gym_make_neuron():
     assert obs.shape == (L0,)
     obs, rew, term, trunc, _ = env.step(None)
     assert np.isfinite(obs).all() and not term
+
+
+def test_legacy_reference_reward_object_through_adapter():
+    """Pass the REFERENCE's own TunedReward1D instance (ABC-style signature,
+    full-history indexing) through the TPU adapter: rewards must match the
+    native path within float tolerance."""
+    import sys
+    sys.path.insert(0, "tests")
+    from reference_loader import load_reference_module
+
+    ref_tuned = load_reference_module("pde_control_gym.src.rewards.tuned_reward_1d")
+    params = _params()
+    env_native = gym.make("PDEControlGym-TransportPDE1D", **params)
+    env_legacy = gym.make(
+        "PDEControlGym-TransportPDE1D",
+        **{**params, "reward_class": ref_tuned.TunedReward1D(10000, -1e3, 3e2)},
+    )
+    on, _ = env_native.reset()
+    ol, _ = env_legacy.reset()
+    for i in range(10):
+        on, rn, tn, _, _ = env_native.step(np.float32(0.2))
+        ol, rl, tl, _, _ = env_legacy.step(np.float32(0.2))
+        np.testing.assert_allclose(on, ol, atol=1e-6)
+        np.testing.assert_allclose(rn, rl, rtol=1e-4, atol=1e-4)
+        assert tn == tl
