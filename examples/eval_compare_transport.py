@@ -55,7 +55,7 @@ def main():
                                   max_steps=50)
 
     if args.ppo_iters > 0:
-        trainer = PPOTrainer(env_rl, PPOConfig(num_envs=512, num_steps=25,
+        trainer = PPOTrainer(env_rl, PPOConfig(num_envs=512, num_steps=50, gamma=0.999,
                                                num_minibatches=8, ent_coef=1e-3,
                                                reward_scale=0.02, obs_clip=50.0))
         runner = trainer.train(jax.random.key(0), args.ppo_iters, log_every=50,

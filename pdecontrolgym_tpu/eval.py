@@ -65,10 +65,6 @@ def compare_controllers(
     tables, e.g. backstepping 243.06 in ``HyperbolicPDEExample.ipynb``)."""
     key = key if key is not None else jax.random.key(0)
     results = {}
-    run = jax.jit(
-        lambda pf, k: episode_returns(env, pf, num_episodes, k, max_steps),
-        static_argnums=0,
-    )
     for name, policy_fn in controllers.items():
         returns, lengths = episode_returns(
             env, policy_fn, num_episodes, key, max_steps

@@ -114,3 +114,23 @@ def test_legacy_reference_reward_object_through_adapter():
         np.testing.assert_allclose(on, ol, atol=1e-6)
         np.testing.assert_allclose(rn, rl, rtol=1e-4, atol=1e-4)
         assert tn == tl
+
+
+def test_vector_env_adapter():
+    from pdecontrolgym_tpu.compat.vector import PDEVectorEnv
+    from pdecontrolgym_tpu.envs.common import Boundary1DConfig
+    from pdecontrolgym_tpu.envs.transport import TransportEnv
+    from pdecontrolgym_tpu.rewards.tuned import TunedReward1D
+
+    cfg = Boundary1DConfig(T=0.05, dt=1e-4, X=1.0, dx=1e-2,
+                           control_sample_rate=0.01)
+    fenv = TransportEnv(cfg, TunedReward1D(500, -1e3, 3e2, lookback=5))
+    venv = PDEVectorEnv(fenv, num_envs=16)
+    obs, info = venv.reset(seed=3)
+    assert obs.shape == (16, 100) and obs.dtype == np.float32
+    for i in range(5):
+        obs, rew, term, trunc, _ = venv.step(np.zeros((16, 1), np.float32))
+    assert term.all()  # 5 steps to the horizon
+    # autoreset: next step starts fresh episodes
+    obs, rew, term, trunc, _ = venv.step(np.zeros((16, 1), np.float32))
+    assert not term.any()
