@@ -22,6 +22,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--episodes", type=int, default=50)
     ap.add_argument("--ppo-iters", type=int, default=150)
+    ap.add_argument("--sac-iters", type=int, default=0)
     args = ap.parse_args()
 
     import dataclasses
@@ -64,6 +65,23 @@ def main():
                                    flush=True))
         results.update(compare_controllers(
             env_rl, {"ppo": trainer.policy(runner.params)},
+            num_episodes=args.episodes, max_steps=50,
+        ))
+
+    if args.sac_iters > 0:
+        from pdecontrolgym_tpu.agents.sac import SACConfig, SACTrainer
+
+        sac = SACTrainer(env_rl, SACConfig(num_envs=128, buffer_size=300_000,
+                                           batch_size=512, steps_per_iter=10,
+                                           updates_per_iter=10, gamma=0.999))
+        srunner = sac.init(jax.random.key(1))
+        sstep = sac.make_train_step()
+        for it in range(args.sac_iters):
+            srunner, m = sstep(srunner)
+            if it % 100 == 0:
+                print(f"  sac iter {it}: {float(m['mean_reward']):+.3f}", flush=True)
+        results.update(compare_controllers(
+            env_rl, {"sac": sac.policy(srunner.actor_params)},
             num_episodes=args.episodes, max_steps=50,
         ))
     print(f"\n{'controller':>14} | {'mean return':>12} | {'std':>8}")
