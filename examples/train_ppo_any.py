@@ -1,0 +1,130 @@
+"""Train PPO on any of the 1D boundary-control envs or 2D Navier-Stokes.
+
+Covers the remaining reference trainer scripts with one entry point
+(``reactionDiffusion1Dppo.py``, ``NS2Dppo.py``, plus Burgers):
+
+    python examples/train_ppo_any.py --env reaction_diffusion --iterations 500
+    python examples/train_ppo_any.py --env ns --iterations 200
+"""
+
+import argparse
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from pdecontrolgym_tpu.agents.ppo import PPOConfig, PPOTrainer
+from pdecontrolgym_tpu.rewards import TunedReward1D
+from pdecontrolgym_tpu.utils import save
+
+
+class FlatObsEnv:
+    """Flattens multi-dim observations for MLP policies (NS frames)."""
+
+    def __init__(self, env):
+        self.env = env
+        self.action_dim = env.action_dim
+
+    def init(self, key):
+        state, obs = self.env.init(key)
+        return state, obs.reshape(-1)
+
+    def step(self, state, action, key=None):
+        state, out = self.env.step(state, action, key)
+        return state, out.replace(obs=out.obs.reshape(-1))
+
+    def autoreset_step(self, state, action, key):
+        from pdecontrolgym_tpu.core.base import FunctionalEnv
+
+        return FunctionalEnv.autoreset_step(self, state, action, key)
+
+
+def build(name):
+    if name == "transport":
+        from pdecontrolgym_tpu.envs import Boundary1DConfig, TransportEnv
+
+        cfg = Boundary1DConfig(T=5.0, dt=1e-4, X=1.0, dx=1e-2,
+                               control_sample_rate=0.1, normalize=True,
+                               limit_pde_state_size=True)
+        return TransportEnv(cfg, TunedReward1D(int(round(cfg.T / cfg.dt)), -1e3, 3e2))
+    if name == "reaction_diffusion":
+        from pdecontrolgym_tpu.envs import ReactionDiffusionConfig, ReactionDiffusionEnv
+
+        cfg = ReactionDiffusionConfig(T=1.0, dt=1e-5, X=1.0, dx=5e-3,
+                                      control_sample_rate=1e-3, normalize=True,
+                                      limit_pde_state_size=True)
+        return ReactionDiffusionEnv(cfg, TunedReward1D(int(round(cfg.T / cfg.dt)), -1e3, 3e2))
+    if name == "burgers":
+        from pdecontrolgym_tpu.envs import BurgersConfig, BurgersEnv
+
+        # CFL needs |u|·dt/dx <= 1: cap the control map at ±5 and truncate
+        # blow-ups (divergence masking) so exploration can't poison the batch
+        cfg = BurgersConfig(T=1.0, dt=1e-4, X=1.0, dx=1.0 / 256,
+                            control_sample_rate=0.01, normalize=True,
+                            max_control_value=5.0, limit_pde_state_size=True,
+                            max_state_value=1e4, truncate_on_nonfinite=True)
+        return BurgersEnv(cfg, TunedReward1D(int(round(cfg.T / cfg.dt))))
+    if name == "ns":
+        from pdecontrolgym_tpu.envs import (
+            NavierStokesConfig, NavierStokesEnv, freeze_boundary_condition,
+        )
+        from pdecontrolgym_tpu.rewards.ns import NSReward
+
+        bc = freeze_boundary_condition({
+            "upper": ["Controllable", "Dirchilet"],
+            "lower": ["Dirchilet", "Dirchilet"],
+            "left": ["Dirchilet", "Dirchilet"],
+            "right": ["Dirchilet", "Dirchilet"],
+        })
+        cfg = NavierStokesConfig(T=0.2, dt=1e-3, boundary_condition=bc,
+                                 maximum_pressure_iteration=200,
+                                 dtype=jnp.float32, pressure_layout="flat")
+        nt, n = cfg.nt, cfg.nx
+        # track the lid-2.0 trajectory (the reference's target.npz)
+        env0 = NavierStokesEnv(cfg, NSReward(0.1),
+                               np.zeros((nt, n, n, 2), np.float32),
+                               np.zeros(nt, np.float32))
+        z = jnp.zeros((n, n), jnp.float32)
+        state, obs0 = env0.init_from(z, z, z)
+        _, frames = jax.lax.scan(
+            lambda s, _: (lambda s2, o: (s2, o.obs))(*env0.step(s, jnp.asarray([2.0]))),
+            state, None, length=nt - 1,
+        )
+        U_ref = jnp.concatenate([obs0[None], frames])
+        return FlatObsEnv(
+            NavierStokesEnv(cfg, NSReward(0.1), U_ref, 2.0 * jnp.ones(nt))
+        )
+    raise SystemExit(f"unknown env {name}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--env", default="reaction_diffusion",
+                    choices=["transport", "reaction_diffusion", "burgers", "ns"])
+    ap.add_argument("--iterations", type=int, default=300)
+    ap.add_argument("--num-envs", type=int, default=256)
+    ap.add_argument("--checkpoint", default=None)
+    args = ap.parse_args()
+
+    env = build(args.env)
+    trainer = PPOTrainer(
+        env,
+        PPOConfig(num_envs=args.num_envs, num_steps=32, gamma=0.999,
+                  num_minibatches=8, ent_coef=1e-3, reward_scale=0.02,
+                  obs_clip=50.0),
+    )
+    runner = trainer.init(jax.random.key(0))
+    step = trainer.make_train_step()
+    for it in range(args.iterations):
+        runner, m = step(runner)
+        if it % 20 == 0 or it == args.iterations - 1:
+            m = jax.device_get(m)
+            print(f"[{args.env}] iter {it:4d}  mean_reward {m['mean_reward']:+.4f}",
+                  flush=True)
+    if args.checkpoint:
+        save(args.checkpoint, runner)
+
+
+if __name__ == "__main__":
+    main()

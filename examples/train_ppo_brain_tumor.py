@@ -51,7 +51,7 @@ def main():
     trainer = PPOTrainer(
         env,
         PPOConfig(num_envs=64, num_steps=40, num_epochs=4, num_minibatches=4,
-                  reward_scale=0.05, ent_coef=1e-3),
+                  gamma=0.999, reward_scale=0.05, ent_coef=1e-3),
     )
     runner = trainer.init(jax.random.key(0))
     step = trainer.make_train_step()

@@ -146,6 +146,7 @@ class Boundary1DGymEnv(gym.Env):
         return self.fenv.state_dim
 
     def reset(self, seed: Optional[int] = None, options: Optional[dict] = None):
+        super().reset(seed=seed)
         try:
             init_condition = self.reset_init_condition_func(self.nx)
             beta = self.reset_recirculation_func(self.nx)
@@ -329,6 +330,7 @@ class TrafficPDE1D(gym.Env):
         return np.asarray(self.fenv._velocity(self._state)).reshape(-1, 1)
 
     def reset(self, seed: Optional[int] = None, options: Optional[dict] = None):
+        super().reset(seed=seed)
         if seed is not None:
             self._key = jax.random.key(seed)
         self._state, obs = self._jit_init(self._next_key())
@@ -434,6 +436,7 @@ class NeuronPDE1D(gym.Env):
         return np.asarray(self._state.Z).reshape(-1, 1)
 
     def reset(self, seed: Optional[int] = None, options: Optional[dict] = None):
+        super().reset(seed=seed)
         self._state, obs = self._jit_init(None)
         self.time_index = 0.0
         return self.sensing_noise_func(np.asarray(obs)[: self.L]), {}
@@ -581,6 +584,7 @@ class BrainTumor1D(gym.Env):
         return np.asarray(self._state.u)
 
     def reset(self, seed: Optional[int] = None, options: Optional[dict] = None):
+        super().reset(seed=seed)
         try:
             init_condition = self.reset_init_condition_func(self.X, self.nx)
         except Exception:
@@ -631,6 +635,7 @@ class TherapyWrapper(gym.Wrapper):
         self.consecutive_treatment_days = 0
 
     def reset(self, seed: Optional[int] = None, options: Optional[dict] = None):
+        super().reset(seed=seed)
         self.consecutive_treatment_days = 0
         obs, info = self.env.reset()
         while self.env.unwrapped.stage == "Growth":
@@ -783,6 +788,7 @@ class NavierStokes2D(gym.Env):
         return self.time_index >= self.nt - 1
 
     def reset(self, seed: Optional[int] = None, options: Optional[dict] = None):
+        super().reset(seed=seed)
         try:
             init_u, init_v, init_p = self.reset_init_condition_func(self.X)
         except Exception:

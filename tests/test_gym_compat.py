@@ -134,3 +134,20 @@ def test_vector_env_adapter():
     # autoreset: next step starts fresh episodes
     obs, rew, term, trunc, _ = venv.step(np.zeros((16, 1), np.float32))
     assert not term.any()
+
+
+def test_gymnasium_official_conformance_checker():
+    """gymnasium.utils.env_checker — the check the reference imports but
+    never runs (transport1Dppo.py:8)."""
+    from gymnasium.utils.env_checker import check_env
+
+    env = gym.make("PDEControlGym-TransportPDE1D", **{**_params(), "normalize": True}).unwrapped
+    check_env(env, skip_render_check=True)
+
+    tr = gym.make(
+        "PDEControlGym-TrafficPDE1D",
+        T=240.0, dt=0.25, X=500.0, dx=10.0, simulation_type="outlet",
+        v_steady=10, ro_steady=0.12, v_max=40, ro_max=0.16, tau=60,
+        verbose=False,
+    ).unwrapped
+    check_env(tr, skip_render_check=True)
