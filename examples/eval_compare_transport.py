@@ -73,7 +73,8 @@ def main():
 
         sac = SACTrainer(env_rl, SACConfig(num_envs=128, buffer_size=300_000,
                                            batch_size=512, steps_per_iter=10,
-                                           updates_per_iter=10, gamma=0.999))
+                                           updates_per_iter=10, gamma=0.999,
+                                           reward_scale=0.02))
         srunner = sac.init(jax.random.key(1))
         sstep = sac.make_train_step()
         for it in range(args.sac_iters):

@@ -33,6 +33,8 @@ class SACConfig:
     hidden: tuple = (128, 128)
     init_alpha: float = 0.1
     learn_alpha: bool = True
+    # PDE-control rewards are O(100); scaling keeps Q targets conditioned
+    reward_scale: float = 1.0
     action_low: float = -1.0
     action_high: float = 1.0
 
@@ -182,7 +184,7 @@ class SACTrainer:
             buffer = buffer.replace(
                 obs=buffer.obs.at[idx].set(obs),
                 action=buffer.action.at[idx].set(act),
-                reward=buffer.reward.at[idx].set(out.reward),
+                reward=buffer.reward.at[idx].set(out.reward * cfg.reward_scale),
                 next_obs=buffer.next_obs.at[idx].set(out.obs),
                 done=buffer.done.at[idx].set(done),
                 ptr=(buffer.ptr + cfg.num_envs) % cfg.buffer_size,

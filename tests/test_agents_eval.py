@@ -78,3 +78,15 @@ def test_checkpoint_roundtrip(tmp_path):
     a = jax.tree_util.tree_leaves(runner.params)[0]
     b = jax.tree_util.tree_leaves(restored.params)[0]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_metrics_logger(tmp_path):
+    import json
+    from pdecontrolgym_tpu.utils import MetricsLogger
+
+    logger = MetricsLogger(str(tmp_path), tensorboard=False)
+    logger.log(0, {"mean_reward": jnp.float32(1.5)})
+    logger.log(10, {"mean_reward": 2.0, "loss": 0.3})
+    logger.close()
+    rows = [json.loads(l) for l in open(tmp_path / "metrics.jsonl")]
+    assert rows[0]["mean_reward"] == 1.5 and rows[1]["step"] == 10
