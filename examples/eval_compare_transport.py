@@ -71,10 +71,12 @@ def main():
     if args.sac_iters > 0:
         from pdecontrolgym_tpu.agents.sac import SACConfig, SACTrainer
 
-        sac = SACTrainer(env_rl, SACConfig(num_envs=128, buffer_size=300_000,
-                                           batch_size=512, steps_per_iter=10,
-                                           updates_per_iter=10, gamma=0.999,
-                                           reward_scale=0.02))
+        # off-policy: the update count matters more than env steps
+        # (2500 iters x 32 updates ~ 80K updates -> mean return ~230)
+        sac = SACTrainer(env_rl, SACConfig(num_envs=64, buffer_size=400_000,
+                                           batch_size=512, steps_per_iter=2,
+                                           updates_per_iter=32, gamma=0.999,
+                                           init_alpha=0.05))
         srunner = sac.init(jax.random.key(1))
         sstep = sac.make_train_step()
         for it in range(args.sac_iters):

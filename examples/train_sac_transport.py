@@ -28,9 +28,10 @@ def main():
         max_control_value=20.0, normalize=True,
     )
     env = TransportEnv(cfg, TunedReward1D(int(round(cfg.T / cfg.dt)), -1e3, 3e2))
-    trainer = SACTrainer(env, SACConfig(num_envs=64, buffer_size=200_000,
-                                        batch_size=256, steps_per_iter=8,
-                                        updates_per_iter=8))
+    trainer = SACTrainer(env, SACConfig(num_envs=64, buffer_size=400_000,
+                                        batch_size=512, steps_per_iter=2,
+                                        updates_per_iter=32, gamma=0.999,
+                                        init_alpha=0.05))
     runner = trainer.init(jax.random.key(0))
     step = trainer.make_train_step()
     for it in range(args.iterations):
