@@ -70,6 +70,7 @@ def bench_env(name, num_envs, repeats=3):
     build = {
         "transport": _build_transport,
         "burgers": _build_burgers,
+        "reaction_diffusion": _build_reaction_diffusion,
         "ns": _build_ns,
     }[name]
     env, policy, agent_steps, sample_rate = build(num_envs)
@@ -88,6 +89,30 @@ def bench_env(name, num_envs, repeats=3):
         best = min(best, time.perf_counter() - t0)
     substeps = num_envs * agent_steps * sample_rate
     return substeps, best
+
+
+def _build_reaction_diffusion(num_envs):
+    """BASELINE config 3: parabolic implicit scheme, tridiagonal solve,
+    nx=256. Each sub-step is a batched Thomas solve; the implicit scheme is
+    stable at 40x the explicit FTCS dt bound, so a control interval needs
+    only 25 sub-steps."""
+    from pdecontrolgym_tpu.envs.reaction_diffusion import (
+        ReactionDiffusionConfig,
+        ReactionDiffusionEnv,
+    )
+    from pdecontrolgym_tpu.rewards.tuned import TunedReward1D
+
+    nx = 256
+    cfg = ReactionDiffusionConfig(
+        T=1.0, dt=4e-4, X=1.0, dx=1.0 / nx, control_sample_rate=0.01,
+        scheme="implicit", theta=0.5,
+    )
+    env = ReactionDiffusionEnv(cfg, TunedReward1D(int(round(cfg.T / cfg.dt))))
+
+    def policy(obs, _key):
+        return -0.1 * obs[..., -2]
+
+    return env, policy, 100, cfg.sample_rate  # full episode
 
 
 def _build_ns(num_envs):
@@ -128,7 +153,7 @@ def _build_ns(num_envs):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--envs", type=int, default=4096)
-    ap.add_argument("--only", choices=["transport", "burgers", "ns"], default=None)
+    ap.add_argument("--only", choices=["transport", "burgers", "reaction_diffusion", "ns"], default=None)
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
 
@@ -147,8 +172,15 @@ def main():
                   file=sys.stderr)
 
     value = total_steps / total_time
+    labels = {
+        "transport": "transport nx=128",
+        "burgers": "Burgers nx=256",
+        "reaction_diffusion": "reaction-diffusion implicit nx=256",
+        "ns": "Navier-Stokes 64x64 batched-Poisson",
+    }
+    desc = " + ".join(labels[n] for n in names)
     print(json.dumps({
-        "metric": "1D PDE env-steps/s/chip @ %d envs (transport nx=128 + Burgers nx=256)" % args.envs,
+        "metric": f"PDE env-steps/s/chip @ {args.envs} envs ({desc})",
         "value": round(value),
         "unit": "env-steps/s",
         "vs_baseline": round(value / 1e6, 3),
