@@ -294,6 +294,7 @@ class TrafficPDE1D(gym.Env):
         rs, vs, qs = cfg.nominal_steady()
         self.rs, self.vs, self.qs = rs, vs, qs
         self.ps = self.fenv.ps
+        self.qs_input = np.linspace(qs / 2, 2 * qs, 40)  # traffic_arz_env.py:78
         if verbose:
             print("Steady state density, velocity: ", self.rs, ",", self.vs)
 
@@ -569,6 +570,20 @@ class BrainTumor1D(gym.Env):
     @property
     def therapyDays(self):
         return int(self._state.therapy_days)
+
+    @property
+    def postTherapyDays(self):
+        return int(self._state.post_therapy_days)
+
+    @property
+    def firstTherapyDay(self):
+        d = int(self._state.first_therapy_day)
+        return None if d < 0 else d
+
+    @property
+    def firstPostTherapyDay(self):
+        d = int(self._state.first_post_therapy_day)
+        return None if d < 0 else d
 
     @property
     def cDeathDay(self):
