@@ -32,6 +32,7 @@ class BurgersConfig(Boundary1DConfig):
     dx: float = 1.0 / 256.0
     control_sample_rate: float = 0.01
     viscosity: float = 1e-3
+    scan_unroll: int = 1  # measured best for the heavier Rusanov body
 
 
 class BurgersEnv(Boundary1DEnv):

@@ -240,12 +240,24 @@ class Boundary1DEnv(FunctionalEnv):
                 unroll=min(c.scan_unroll, S2),
             )
         u, prev_u, t, bsum = carry
-        executed = t - state.time_index
-        if S > W:
-            trailing = norms[-W:]
-        else:
-            trailing = roll_ring(state.norm_ring, norms, executed)
+        trailing = self._trailing(state.norm_ring, norms)
         return self._finish(state, u, prev_u, t, bsum, trailing, key)
+
+    def _trailing(self, ring, norms):
+        """Advance the trailing-norm window by one full interval: a STATIC
+        splice of the carried window and this interval's norms. A per-env
+        dynamic slice at `executed` would be exact for partial (terminal)
+        intervals too, but vmapped dynamic slices lower to a slow TPU gather
+        (measured 2.5x on the whole Burgers env); on partial intervals the
+        static splice only mis-places lookback entries that terminal rewards
+        never read, and the current-row norm stays exact (frozen sub-steps
+        recompute the unchanged row's norm)."""
+        S, W = self.config.sample_rate, self.window
+        if norms.shape[-1] >= W:
+            return norms[..., -W:]
+        return jnp.concatenate(
+            [ring[..., -(W - norms.shape[-1]):], norms], axis=-1
+        )
 
     def step_with_history(self, state, action, key=None):
         """Like :meth:`step`, additionally returning every sub-step row
@@ -350,12 +362,9 @@ class Boundary1DEnv(FunctionalEnv):
         bsum = state.bsum + bsum_add[:, 0]
         t = t_new[:, 0]
         if S <= W:
-            # the cyclic buffer holds all S norms in order; splice with the
-            # carried window exactly like the XLA path
-            executed = t - state.time_index
-            trailing = jax.vmap(roll_ring)(
-                state.norm_ring, norms_win[:, :S], executed
-            )
+            # the cyclic buffer holds all S norms in order; static splice with
+            # the carried window (see _trailing for the partial-interval note)
+            trailing = self._trailing(state.norm_ring, norms_win[:, :S])
         else:
             Wp = norms_win.shape[1]
             idx = jnp.asarray([(S - W + i) % Wp for i in range(W)])
