@@ -133,11 +133,11 @@ class Boundary1DGymEnv(gym.Env):
         )
 
         self._jit_init = jax.jit(self.fenv.init_from)
-        self._jit_step = jax.jit(self.fenv.step)
-        if self._legacy_reward:
-            # legacy reward objects index arbitrary sub-step rows of the
-            # reference-style (nt, n) history buffer — collect them
-            self._jit_step_hist = jax.jit(self.fenv.step_with_history)
+        # the adapter always maintains the reference-style (nt, n) sub-step
+        # history buffer `u` — reference users read env.u for plotting
+        # (e.g. the notebook surface plots) and legacy rewards index it. The
+        # functional API is the fast path; this is the compatibility path.
+        self._jit_step_hist = jax.jit(self.fenv.step_with_history)
         self._state = None
         self.u = np.zeros((self.nt, self.fenv.state_dim), dtype=np.float32)
 
@@ -160,26 +160,22 @@ class Boundary1DGymEnv(gym.Env):
             jnp.asarray(init_condition, jnp.float32), jnp.asarray(beta, jnp.float32)
         )
         self.time_index = 0
-        if self._legacy_reward:
-            self.u = np.zeros((self.nt, self.fenv.state_dim), dtype=np.float32)
-            self.u[0] = np.asarray(self._state.u)
+        self.u = np.zeros((self.nt, self.fenv.state_dim), dtype=np.float32)
+        self.u[0] = np.asarray(self._state.u)
         return self.sensing_noise_func(np.asarray(obs)), {}
 
     def step(self, control):
         control = np.asarray(control, dtype=np.float32).reshape(-1)[0]
         prev_t = self.time_index
-        if self._legacy_reward:
-            self._state, out, rows = self._jit_step_hist(self._state, control)
-        else:
-            self._state, out = self._jit_step(self._state, control)
+        self._state, out, rows = self._jit_step_hist(self._state, control)
         self.time_index = int(self._state.time_index)
         obs = self.sensing_noise_func(np.asarray(out.obs))
         terminate = bool(out.terminated)
         truncate = bool(out.truncated)
+        executed = self.time_index - prev_t
+        if executed:
+            self.u[prev_t + 1 : prev_t + 1 + executed] = np.asarray(rows)[:executed]
         if self._legacy_reward:
-            executed = self.time_index - prev_t
-            if executed:
-                self.u[prev_t + 1 : prev_t + 1 + executed] = np.asarray(rows)[:executed]
             reward = self.reward_class.reward(
                 self.u, self.time_index, terminate, truncate,
                 self.u[self.time_index][-1],
@@ -348,14 +344,21 @@ class TrafficPDE1D(gym.Env):
         )
         self.time_index = float(self._state.time_index)
         reward = float(out.reward)
+        terminated = bool(out.terminated)
         if self._legacy_reward:
             reward = float(
                 self.reward_class.reward(self.vs, self.rs, self.v, self.r)
             )
+            # the reference's early stop compares the USER's reward value
+            # (traffic_arz_env.py:233); re-derive termination from the time
+            # condition (which zeroes time_index, :110) + the legacy reward
+            if self.simulation_type != "outlet-train":
+                time_terminated = self.time_index == 0.0
+                terminated = time_terminated or reward > -0.00023
         return (
             np.asarray(out.obs, np.float64),
             reward,
-            bool(out.terminated),
+            terminated,
             bool(out.truncated),
             {"V": self.v},
         )
@@ -537,6 +540,7 @@ class BrainTumor1D(gym.Env):
         self._jit_step = jax.jit(self.fenv.step)
         self._state = None
         self._t_benchmark = None
+        self.u = np.zeros((cfg.nt, cfg.nx))
         self.t1_radius_idx_vs_time = np.zeros(cfg.nt)
         self.dosage_vs_time = np.zeros(cfg.nt)
         self.time_index = 0
@@ -607,6 +611,9 @@ class BrainTumor1D(gym.Env):
         tb = None if self._t_benchmark is None else int(self._t_benchmark)
         self._state, obs = self._jit_init(jnp.asarray(init_condition), tb)
         self.time_index = 0
+        # reference-style (nt, nx) density history (brain_tumor_env.py:365)
+        self.u = np.zeros((self.nt, self.nx))
+        self.u[0] = np.asarray(obs)
         self.t1_radius_idx_vs_time = np.zeros(self.nt)
         self.t1_radius_idx_vs_time[0] = np.nan
         self.dosage_vs_time = np.zeros(self.nt)
@@ -617,6 +624,7 @@ class BrainTumor1D(gym.Env):
         control = float(np.asarray(control, np.float64).reshape(-1)[0])
         self._state, out = self._jit_step(self._state, jnp.float32(control))
         self.time_index = int(self._state.time_index)
+        self.u[self.time_index] = np.asarray(out.obs)
         t1, has = self.fenv.tumor_radius(
             self._state.u, self.config.t1_detection_threshold
         )
@@ -776,6 +784,7 @@ class NavierStokes2D(gym.Env):
         )
         self.U = np.zeros((cfg.nt, cfg.nx, cfg.ny, 2))
         self.time_index = 0
+        self._jit_init = jax.jit(self.fenv.init_from)
         self._jit_step = jax.jit(self.fenv.step)
         self._jit_pressure = jax.jit(self.fenv.solve_pressure)
         self._state = None
@@ -812,7 +821,7 @@ class NavierStokes2D(gym.Env):
                 "function in the parameters dictionary. See documentation for "
                 "more details"
             )
-        self._state, obs = jax.jit(self.fenv.init_from)(
+        self._state, obs = self._jit_init(
             jnp.asarray(init_u), jnp.asarray(init_v), jnp.asarray(init_p)
         )
         self.time_index = 0

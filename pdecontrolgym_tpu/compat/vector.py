@@ -34,8 +34,11 @@ class PDEVectorEnv(VectorEnv):
                  obs_low=-np.inf, obs_high=np.inf):
         self.fenv = fenv
         self.num_envs = num_envs
-        obs_dim = getattr(fenv, "obs_dim", None)
-        obs_shape = (obs_dim,) if isinstance(obs_dim, int) else fenv.obs_shape
+        # derive the obs shape from the env itself (e.g. NS frames are
+        # (ny, nx, 2), not the (nx, ny, 2) one might guess for nx != ny)
+        obs_shape = jax.eval_shape(
+            lambda k: fenv.init(k)[1], jax.random.key(0)
+        ).shape
         adim = fenv.action_dim
         self.single_observation_space = spaces.Box(
             obs_low, obs_high, shape=obs_shape, dtype=np.float32

@@ -159,11 +159,15 @@ class Boundary1DEnv(FunctionalEnv):
         u0 = jnp.asarray(u0, c.dtype)
         beta = jnp.asarray(beta, c.dtype)
         n0 = jnp.linalg.norm(u0)
+        # ring semantics at reset: entries before row 0 are ZERO, matching the
+        # reference's negative-index wrap into its preallocated zero history
+        # (uVec[t-100] with t<100 reads unwritten all-zero rows,
+        # tuned_reward_1d.py:40) — only the last slot holds ||u0||
         state = Boundary1DState(
             u=u0,
             beta=beta,
             time_index=jnp.asarray(0, jnp.int32),
-            norm_ring=jnp.full((self.window,), n0, c.dtype),
+            norm_ring=jnp.zeros((self.window,), c.dtype).at[-1].set(n0),
             bsum=jnp.abs(u0[-1]).astype(c.dtype),
             prev_u=u0 if self._needs_prev else None,
         )

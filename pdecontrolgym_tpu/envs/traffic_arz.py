@@ -71,8 +71,11 @@ class TrafficARZConfig:
 
     @property
     def M(self) -> int:
-        # len(arange(0, X+dx, dx)) — traffic_arz_env.py:74-76
-        return int(round(self.X / self.dx)) + 1
+        # exactly len(arange(0, X+dx, dx)) — traffic_arz_env.py:74-76 — which
+        # differs from round(X/dx)+1 when X/dx is not an integer
+        import numpy as np
+
+        return len(np.arange(0.0, self.X + self.dx, self.dx))
 
     @property
     def is_train(self) -> bool:
@@ -145,8 +148,9 @@ class TrafficARZEnv(FunctionalEnv):
         vs = veq(c.v_max, c.ro_max, rs).astype(c.dtype)
         qs = (rs * vs).astype(c.dtype)
 
-        # IC — traffic_arz_env.py:258-261
-        x = jnp.arange(0.0, c.X + c.dx, c.dx).astype(c.dtype)
+        # IC — traffic_arz_env.py:258-261 (grid length pinned to config.M so
+        # float-fence differences between np/jnp arange cannot desync shapes)
+        x = (jnp.arange(c.M) * c.dx).astype(c.dtype)
         r = rs * (jnp.sin(3.0 * x / c.X * jnp.pi) * 0.1 + 1.0)
         y = qs - c.v_max * r + c.v_max / c.ro_max * r**2
         state = TrafficARZState(

@@ -102,8 +102,9 @@ def make_interval_fn(
     @jax.jit
     def fn(u, beta, ctrl, t0):
         B = u.shape[0]
-        tb = min(tile_b, B)
-        assert B % tb == 0, f"batch {B} must be a multiple of tile {tb}"
+        # largest power-of-two tile <= tile_b that divides B
+        tb = next(t for t in (tile_b, 256, 128, 64, 32, 16, 8, 4, 2, 1)
+                  if t <= tile_b and B % t == 0)
         grid = (B // tb,)
         row_spec = pl.BlockSpec((tb, state_dim), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)

@@ -61,6 +61,10 @@ class NormReward(BaseReward):
             raise ValueError(f"Invalid norm {self.norm!r}; use '1', '2' or 'inf'.")
         if self.horizon not in ("temporal", "differential", "t-horizon"):
             raise ValueError(f"Invalid horizon {self.horizon!r}.")
+        if self.horizon == "t-horizon" and str(self.norm) != "2":
+            # the env's trailing window carries L2 norms; mixing them with an
+            # L1/Linf current-row norm would silently change the semantics
+            raise ValueError("t-horizon currently supports norm='2' only.")
 
     @property
     def ring_requirement(self) -> int:

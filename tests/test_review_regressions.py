@@ -1,0 +1,95 @@
+"""Regression tests for code-review findings."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pdecontrolgym_tpu.envs.common import Boundary1DConfig
+from pdecontrolgym_tpu.envs.traffic_arz import TrafficARZConfig, TrafficARZEnv
+from pdecontrolgym_tpu.envs.transport import TransportEnv
+from pdecontrolgym_tpu.rewards.traffic import TrafficARZReward
+from pdecontrolgym_tpu.rewards.tuned import TunedReward1D
+
+from reference_loader import load_reference_module
+
+
+def test_pallas_handles_non_multiple_batch():
+    cfg = Boundary1DConfig(T=0.02, dt=1e-4, X=1.0, dx=1.0 / 128,
+                           control_sample_rate=0.01, backend="pallas")
+    env = TransportEnv(cfg, TunedReward1D(200, lookback=5))
+    B = 768  # not a multiple of the 512 default tile
+    keys = jax.random.split(jax.random.key(0), B)
+    state, obs = jax.vmap(env.init)(keys)
+    state, out = jax.jit(lambda s, a: env.step_batch(s, a))(state, jnp.zeros(B))
+    assert out.obs.shape == (B, 128)
+
+
+def test_traffic_non_divisible_grid_shapes_consistent():
+    cfg = TrafficARZConfig(X=505.0, dx=10.0, simulation_type="outlet")
+    env = TrafficARZEnv(cfg, TrafficARZReward())
+    state, obs = env.init(None)
+    assert state.r.shape[0] == cfg.M
+    assert obs.shape == (2 * cfg.M,)
+    # matches the reference arange convention
+    assert cfg.M == len(np.arange(0.0, 505.0 + 10.0, 10.0))
+
+
+def test_adapter_history_buffer_populated_without_legacy_reward():
+    import gymnasium as gym
+    import pdecontrolgym_tpu  # noqa: F401
+
+    env = gym.make(
+        "PDEControlGym-TransportPDE1D",
+        T=0.05, dt=1e-4, X=1.0, dx=1e-2,
+        reward_class=TunedReward1D(500, -1e3, 3e2),
+        normalize=False, sensing_loc="full", control_type="Dirchilet",
+        sensing_type=None, sensing_noise_func=lambda s: s,
+        limit_pde_state_size=True, max_state_value=1e10, max_control_value=20,
+        reset_init_condition_func=lambda n: np.ones(n, np.float32) * 2,
+        reset_recirculation_func=lambda n: np.zeros(n, np.float32),
+        control_sample_rate=0.01,
+    ).unwrapped
+    env.reset()
+    env.step(np.float32(0.5))
+    # all 100 sub-step rows of the first interval are filled
+    assert np.abs(env.u[1:101]).sum() > 0
+    assert np.allclose(env.u[100][-1], 0.5)  # boundary = control
+
+
+def test_short_interval_lookback_matches_reference_zero_wrap():
+    """sample_rate < lookback: the reference's uVec[t-100] wraps into unwritten
+    zero rows; the trailing ring must reproduce that (review finding)."""
+    parabolic = load_reference_module("pde_control_gym.src.environments1d.parabolic")
+    tuned = load_reference_module("pde_control_gym.src.rewards.tuned_reward_1d")
+    T, DT, DX = 0.01, 1e-5, 5e-3
+    u0 = np.full(201, 2.0, np.float32)
+    ref = parabolic.ReactionDiffusionPDE1D(
+        T=T, dt=DT, X=1.0, dx=DX,
+        reward_class=tuned.TunedReward1D(int(round(T / DT)), -1e3, 3e2),
+        normalize=False, sensing_loc="full", control_type="Dirchilet",
+        sensing_type="Neumann", sensing_noise_func=lambda s: s,
+        limit_pde_state_size=False, max_state_value=1e10, max_control_value=20,
+        reset_init_condition_func=lambda nx: u0,
+        reset_recirculation_func=lambda nx: np.zeros(nx + 1, np.float32),
+        control_sample_rate=1e-4,  # S=10 sub-steps << lookback 100
+    )
+    ref.reset()
+
+    from pdecontrolgym_tpu.envs.reaction_diffusion import (
+        ReactionDiffusionConfig,
+        ReactionDiffusionEnv,
+    )
+
+    cfg = ReactionDiffusionConfig(
+        T=T, dt=DT, X=1.0, dx=DX, control_sample_rate=1e-4,
+    )
+    env = ReactionDiffusionEnv(cfg, TunedReward1D(int(round(T / DT)), -1e3, 3e2))
+    state, _ = env.init_from(u0, np.zeros(201, np.float32))
+    step = jax.jit(env.step)
+    # t goes 10, 20, ..., 120: the first 9 steps read pre-episode (zero) rows
+    for i in range(12):
+        robs, rrew, rterm, rtrunc, _ = ref.step(np.float32(0.1))
+        state, out = step(state, jnp.float32(0.1))
+        np.testing.assert_allclose(rrew, float(out.reward), rtol=2e-3, atol=2e-3)
