@@ -27,27 +27,18 @@ def main():
     ap.add_argument("--lid", type=float, default=2.0)
     args = ap.parse_args()
 
-    T, dt, n = 0.2, 1e-3, 21
+    from pdecontrolgym_tpu.envs.navier_stokes import make_lid_target
+
     bc = freeze_boundary_condition({
         "upper": ["Controllable", "Dirchilet"],
         "lower": ["Dirchilet", "Dirchilet"],
         "left": ["Dirchilet", "Dirchilet"],
         "right": ["Dirchilet", "Dirchilet"],
     })
-    cfg = NavierStokesConfig(T=T, dt=dt, X=1.0, dx=0.05, Y=1.0, dy=0.05,
+    cfg = NavierStokesConfig(T=0.2, dt=1e-3, X=1.0, dx=0.05, Y=1.0, dy=0.05,
                              boundary_condition=bc, dtype=jnp.float64)
-    nt = cfg.nt
-    env = NavierStokesEnv(cfg, NSReward(0.1),
-                          np.zeros((nt, n, n, 2)), np.zeros(nt))
-    zeros = jnp.zeros((n, n), jnp.float64)
-    state, obs0 = env.init_from(zeros, zeros, zeros)
-
-    def body(state, _):
-        state, out = env.step(state, jnp.asarray([args.lid]))
-        return state, out.obs
-
-    _, frames = jax.lax.scan(body, state, None, length=nt - 1)
-    U = np.concatenate([np.asarray(obs0)[None], np.asarray(frames)])
+    U_ref, _ = make_lid_target(cfg, lid=args.lid)
+    U = np.asarray(U_ref)
     np.savez(args.out, u=U[..., 0], v=U[..., 1])
     print(f"wrote {args.out}: u/v shape {U[..., 0].shape}, "
           f"final max|u| = {np.abs(U[-1, ..., 0]).max():.3f}")

@@ -61,16 +61,11 @@ def main():
 
     # --- generate the tracking target: a lid velocity of 2.0 (the reference's
     # target.npz is an equivalent precomputed lid-driven trajectory) ---------
+    from pdecontrolgym_tpu.envs.navier_stokes import make_lid_target
+
     env0 = build_env(np.zeros((NT, 21, 21, 2)), np.zeros(NT))
-    state, _ = env0.init_from(u0, v0, p0)
-
-    def record(state, a):
-        state, out = env0.step(state, a[None])
-        return state, out.obs
-
-    _, frames = jax.lax.scan(record, state, jnp.full((NT - 1,), 2.0))
-    U_ref = jnp.concatenate([jnp.stack([u0, v0], -1)[None], frames])
-    action_ref = 2.0 * jnp.ones(NT)
+    U_ref, action_ref = make_lid_target(env0.config, lid=2.0,
+                                        u0=u0, v0=v0, p0=p0)
 
     env = build_env(U_ref, action_ref)
     loss = jax.jit(

@@ -69,6 +69,7 @@ def build(name):
         from pdecontrolgym_tpu.envs import (
             NavierStokesConfig, NavierStokesEnv, freeze_boundary_condition,
         )
+        from pdecontrolgym_tpu.envs.navier_stokes import make_lid_target
         from pdecontrolgym_tpu.rewards.ns import NSReward
 
         bc = freeze_boundary_condition({
@@ -80,21 +81,8 @@ def build(name):
         cfg = NavierStokesConfig(T=0.2, dt=1e-3, boundary_condition=bc,
                                  maximum_pressure_iteration=200,
                                  dtype=jnp.float32, pressure_layout="flat")
-        nt, n = cfg.nt, cfg.nx
-        # track the lid-2.0 trajectory (the reference's target.npz)
-        env0 = NavierStokesEnv(cfg, NSReward(0.1),
-                               np.zeros((nt, n, n, 2), np.float32),
-                               np.zeros(nt, np.float32))
-        z = jnp.zeros((n, n), jnp.float32)
-        state, obs0 = env0.init_from(z, z, z)
-        _, frames = jax.lax.scan(
-            lambda s, _: (lambda s2, o: (s2, o.obs))(*env0.step(s, jnp.asarray([2.0]))),
-            state, None, length=nt - 1,
-        )
-        U_ref = jnp.concatenate([obs0[None], frames])
-        return FlatObsEnv(
-            NavierStokesEnv(cfg, NSReward(0.1), U_ref, 2.0 * jnp.ones(nt))
-        )
+        U_ref, action_ref = make_lid_target(cfg, lid=2.0)
+        return FlatObsEnv(NavierStokesEnv(cfg, NSReward(0.1), U_ref, action_ref))
     raise SystemExit(f"unknown env {name}")
 
 

@@ -83,6 +83,8 @@ class PPOTrainer:
         key, net_key, env_key = jax.random.split(key, 3)
         env_keys = jax.random.split(env_key, cfg.num_envs)
         env_state, obs = jax.vmap(self.env.init)(env_keys)
+        if cfg.obs_clip > 0:
+            obs = jnp.clip(obs, -cfg.obs_clip, cfg.obs_clip)
         params = self.net.init(net_key, obs[:1])
         opt_state = self.tx.init(params)
         runner = Runner(
@@ -238,7 +240,8 @@ class PPOTrainer:
             epoch, (runner.params, runner.opt_state), epoch_keys
         )
 
-        mean_rew = rew_t.mean()
+        # report in raw env-reward units (rew_t was scaled for training only)
+        mean_rew = rew_t.mean() / cfg.reward_scale
         if on_mesh:
             mean_rew = jax.lax.pmean(mean_rew, ENV_AXIS)
             new_key = runner.key  # replicated stream advances identically

@@ -354,7 +354,9 @@ class TrafficPDE1D(gym.Env):
             # condition (which zeroes time_index, :110) + the legacy reward
             if self.simulation_type != "outlet-train":
                 time_terminated = self.time_index == 0.0
-                terminated = time_terminated or reward > -0.00023
+                terminated = (
+                    time_terminated or reward > self.config.early_stop_threshold
+                )
         return (
             np.asarray(out.obs, np.float64),
             reward,
@@ -658,9 +660,10 @@ class TherapyWrapper(gym.Wrapper):
         self.consecutive_treatment_days = 0
 
     def reset(self, seed: Optional[int] = None, options: Optional[dict] = None):
-        super().reset(seed=seed)
+        # NOT super().reset(): gym.Wrapper.reset fully delegates to env.reset,
+        # which would reset the wrapped env twice and discard the seeded one
         self.consecutive_treatment_days = 0
-        obs, info = self.env.reset()
+        obs, info = self.env.reset(seed=seed)
         while self.env.unwrapped.stage == "Growth":
             obs, _, terminated, truncated, info = self.env.step(0)
             if terminated or truncated:

@@ -25,13 +25,22 @@ import jax.numpy as jnp
 class PDEVectorEnv(VectorEnv):
     """Batched autoreset wrapper around a functional env.
 
-    Follows gymnasium's autoreset convention: when an episode ends, the
-    returned observation is already the first observation of the next episode
-    (the in-kernel autoreset of ``FunctionalEnv.autoreset_step``).
+    Autoreset is SAME-STEP: on the step where an episode ends, the returned
+    observation is already the first observation of the next episode (the
+    in-kernel autoreset of ``FunctionalEnv.autoreset_step``), declared via
+    ``metadata["autoreset_mode"]`` so gymnasium 1.x consumers handle terminal
+    transitions correctly.
     """
 
     def __init__(self, fenv, num_envs: int, seed: int = 0,
-                 obs_low=-np.inf, obs_high=np.inf):
+                 obs_low=-np.inf, obs_high=np.inf,
+                 act_low=None, act_high=None):
+        try:
+            from gymnasium.vector import AutoresetMode
+
+            self.metadata = {"autoreset_mode": AutoresetMode.SAME_STEP}
+        except ImportError:  # older gymnasium without the enum
+            self.metadata = {"autoreset_mode": "SameStep"}
         self.fenv = fenv
         self.num_envs = num_envs
         # derive the obs shape from the env itself (e.g. NS frames are
@@ -43,8 +52,12 @@ class PDEVectorEnv(VectorEnv):
         self.single_observation_space = spaces.Box(
             obs_low, obs_high, shape=obs_shape, dtype=np.float32
         )
+        if act_low is None:
+            act_low = getattr(fenv, "action_low", -1.0)
+        if act_high is None:
+            act_high = getattr(fenv, "action_high", 1.0)
         self.single_action_space = spaces.Box(
-            -np.inf, np.inf, shape=(adim,), dtype=np.float32
+            act_low, act_high, shape=(adim,), dtype=np.float32
         )
         self.observation_space = gym.vector.utils.batch_space(
             self.single_observation_space, num_envs

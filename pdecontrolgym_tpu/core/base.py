@@ -69,15 +69,32 @@ class RewardCtx:
     bsum: jnp.ndarray
     ring: int = struct.field(pytree_node=False, default=1)
     extras: Any = None
+    # sub-steps a full control interval would run; the trailing window is
+    # laid out assuming a full interval, so a partial (terminal) interval
+    # shifts every read left by (interval - executed)
+    interval: int = struct.field(pytree_node=False, default=1)
+
+    def _at(self, back):
+        """Window entry ``back`` rows behind the current row. Traced negative
+        indices clamp (not wrap) in JAX gathers, so build an explicit
+        non-negative index and clamp to the window start ourselves."""
+        idx = self.norms.shape[-1] - 1 - (self.interval - self.executed) - back
+        return self.norms[jnp.maximum(idx, 0)]
 
     @property
     def cur_norm(self) -> jnp.ndarray:
         """L2 norm of the current PDE row (``np.linalg.norm(uVec[time_index])``)."""
-        return self.norms[-1]
+        return self._at(0)
 
     def norm_at_lag(self, lag) -> jnp.ndarray:
-        """L2 norm of the row ``lag`` sub-steps before the current one."""
-        return self.norms[-1 - lag]
+        """L2 norm of the row ``lag`` sub-steps before the current one.
+
+        Exact whenever the indexed row is inside the trailing window
+        (always, for intervals that divide the horizon — every reference
+        configuration); a partial terminal interval with ``lag`` reaching
+        beyond the window clamps onto the window's oldest entry.
+        """
+        return self._at(lag)
 
 
 RewardFn = Callable[[RewardCtx], jnp.ndarray]

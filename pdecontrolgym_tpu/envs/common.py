@@ -250,12 +250,13 @@ class Boundary1DEnv(FunctionalEnv):
     def _trailing(self, ring, norms):
         """Advance the trailing-norm window by one full interval: a STATIC
         splice of the carried window and this interval's norms. A per-env
-        dynamic slice at `executed` would be exact for partial (terminal)
-        intervals too, but vmapped dynamic slices lower to a slow TPU gather
-        (measured 2.5x on the whole Burgers env); on partial intervals the
-        static splice only mis-places lookback entries that terminal rewards
-        never read, and the current-row norm stays exact (frozen sub-steps
-        recompute the unchanged row's norm)."""
+        dynamic slice at `executed` would keep the window aligned on partial
+        (terminal) intervals too, but vmapped dynamic slices lower to a slow
+        TPU gather (measured 2.5x on the whole Burgers env). Instead the
+        window is laid out assuming a full interval and RewardCtx corrects
+        reads by the per-env shortfall (``interval - executed``) with cheap
+        scalar gathers — exact wherever the indexed row is inside the window
+        (always, when intervals divide the horizon: every reference config)."""
         S, W = self.config.sample_rate, self.window
         if norms.shape[-1] >= W:
             return norms[..., -W:]
@@ -409,6 +410,7 @@ class Boundary1DEnv(FunctionalEnv):
             norms=trailing,
             bsum=bsum,
             ring=self.window,
+            interval=c.sample_rate,
             extras={"prev_u": prev_u} if self._needs_prev else None,
         )
         reward = self.reward(ctx)

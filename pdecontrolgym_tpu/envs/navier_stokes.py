@@ -79,6 +79,36 @@ class NavierStokesConfig:
         return int(round(self.Y / self.dy + 1))
 
 
+def make_lid_target(config: "NavierStokesConfig", lid: float = 2.0,
+                    u0=None, v0=None, p0=None):
+    """Roll out the env under a constant lid velocity and return the
+    ``(nt, ny, nx, 2)`` tracking trajectory plus the matching action sequence
+    — the engine-generated equivalent of the reference's ``target.npz``
+    (``examples/NavierStokes/NS2Dppo.py:33-35``). Shared by the PPO/target
+    examples so the target convention lives in exactly one place."""
+    from pdecontrolgym_tpu.rewards.ns import NSReward
+
+    nt, n = config.nt, config.nx
+    shape = (config.ny, config.nx)
+    zeros = jnp.zeros(shape, config.dtype)
+    u0 = zeros if u0 is None else jnp.asarray(u0, config.dtype)
+    v0 = zeros if v0 is None else jnp.asarray(v0, config.dtype)
+    p0 = zeros if p0 is None else jnp.asarray(p0, config.dtype)
+    env = NavierStokesEnv(
+        config, NSReward(0.1),
+        jnp.zeros((nt, n, n, 2), config.dtype), jnp.zeros(nt, config.dtype),
+    )
+    state, obs0 = env.init_from(u0, v0, p0)
+
+    def body(state, _):
+        state, out = env.step(state, jnp.asarray([lid], config.dtype))
+        return state, out.obs
+
+    _, frames = jax.lax.scan(body, state, None, length=nt - 1)
+    U_ref = jnp.concatenate([obs0[None], frames])
+    return U_ref, lid * jnp.ones(nt, config.dtype)
+
+
 def freeze_boundary_condition(bc: dict) -> tuple:
     """Normalize the reference's dict format into a hashable config tuple."""
     out = []

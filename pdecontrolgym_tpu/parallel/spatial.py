@@ -7,8 +7,8 @@ exchanges one-point halos with its neighbors via ``ppermute`` each sub-step —
 the collectives ride ICI inside ``shard_map``.
 
 This module implements that pattern for the transport upwind stencil:
-``spatial_transport_rollout`` runs a full control interval with ``u`` sharded
-over a ``("x",)`` mesh axis. The upwind update needs each slab's RIGHT
+``make_spatial_transport_interval`` builds a jitted function running a full
+control interval with ``u`` sharded over a ``("x",)`` mesh axis. The upwind update needs each slab's RIGHT
 neighbor's first point; β·u(0,t) needs the global left boundary value, which
 is broadcast from shard 0 once per sub-step (also a ppermute-free
 ``all_gather`` of one scalar would do; we use the gather of slab heads).

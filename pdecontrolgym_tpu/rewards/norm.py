@@ -96,7 +96,7 @@ class NormReward(BaseReward):
         else:  # t-horizon (L2 trailing window; see RewardCtx.norms)
             h = self.t_horizon_length
             lags = jnp.arange(h)
-            vals = ctx.norms[-1 - lags]
+            vals = ctx._at(lags)
             count = jnp.minimum(jnp.maximum(ctx.time_index, 1), h)
             mask = lags < count
             running = -jnp.sum(jnp.where(mask, vals, 0.0)) / count / self.norm_coeff
