@@ -1,0 +1,37 @@
+"""Import/run smoke tests for the example entry points (tiny CPU configs)."""
+
+import runpy
+import sys
+
+import numpy as np
+import pytest
+
+
+def _run(path, argv):
+    old = sys.argv
+    sys.argv = [path] + argv
+    try:
+        runpy.run_path(path, run_name="__main__")
+    finally:
+        sys.argv = old
+
+
+def test_train_ppo_any_smoke(capsys):
+    _run("examples/train_ppo_any.py",
+         ["--env", "transport", "--iterations", "2", "--num-envs", "8"])
+    assert "mean_reward" in capsys.readouterr().out
+
+
+def test_generate_ns_target_smoke(tmp_path):
+    out = str(tmp_path / "t.npz")
+    _run("examples/generate_ns_target.py", ["--out", out])
+    data = np.load(out)
+    assert data["u"].shape == (200, 21, 21)
+    assert abs(data["u"][-1].max() - 2.0) < 0.5  # lid velocity reached
+
+
+def test_eval_compare_transport_no_rl(capsys):
+    _run("examples/eval_compare_transport.py",
+         ["--ppo-iters", "0", "--episodes", "4"])
+    out = capsys.readouterr().out
+    assert "backstepping" in out and "zero" in out
