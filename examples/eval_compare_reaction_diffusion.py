@@ -29,7 +29,7 @@ NX = int(round(X / DX))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--episodes", type=int, default=50)
-    ap.add_argument("--ppo-iters", type=int, default=400)
+    ap.add_argument("--ppo-iters", type=int, default=350)  # over-trains beyond ~350
     args = ap.parse_args()
 
     cfg = ReactionDiffusionConfig(
