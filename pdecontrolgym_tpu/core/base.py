@@ -69,30 +69,31 @@ class RewardCtx:
     bsum: jnp.ndarray
     ring: int = struct.field(pytree_node=False, default=1)
     extras: Any = None
-    # sub-steps a full control interval would run; the trailing window is
-    # laid out assuming a full interval, so a partial (terminal) interval
-    # shifts every read left by (interval - executed)
-    interval: int = struct.field(pytree_node=False, default=1)
 
     def _at(self, back):
-        """Window entry ``back`` rows behind the current row. Traced negative
-        indices clamp (not wrap) in JAX gathers, so build an explicit
-        non-negative index and clamp to the window start ourselves."""
-        idx = self.norms.shape[-1] - 1 - (self.interval - self.executed) - back
-        return self.norms[jnp.maximum(idx, 0)]
+        return self.norms[..., self.norms.shape[-1] - 1 - back]
 
     @property
     def cur_norm(self) -> jnp.ndarray:
-        """L2 norm of the current PDE row (``np.linalg.norm(uVec[time_index])``)."""
+        """L2 norm of the current PDE row (``np.linalg.norm(uVec[time_index])``).
+
+        Exact on every interval including partial terminal ones: frozen
+        sub-steps re-evaluate the unchanged row's norm into the final window
+        slot.
+        """
         return self._at(0)
 
     def norm_at_lag(self, lag) -> jnp.ndarray:
         """L2 norm of the row ``lag`` sub-steps before the current one.
 
-        Exact whenever the indexed row is inside the trailing window
-        (always, for intervals that divide the horizon — every reference
-        configuration); a partial terminal interval with ``lag`` reaching
-        beyond the window clamps onto the window's oldest entry.
+        Exact on fully-executed control intervals — every step of every
+        reference configuration (their intervals divide the horizon). On a
+        PARTIAL terminal interval (non-dividing configs only) lag-targeted
+        norm skipping means the historical row's norm was never evaluated;
+        the read then returns the frozen current-row norm recorded at the
+        lag's offset class instead. Terminal bonuses/penalties (the usual
+        terminal rewards) don't read lags; only the TunedReward fall-through
+        with an oversized terminal state observes this.
         """
         return self._at(lag)
 

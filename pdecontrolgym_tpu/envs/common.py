@@ -410,7 +410,6 @@ class Boundary1DEnv(FunctionalEnv):
             norms=trailing,
             bsum=bsum,
             ring=self.window,
-            interval=c.sample_rate,
             extras={"prev_u": prev_u} if self._needs_prev else None,
         )
         reward = self.reward(ctx)

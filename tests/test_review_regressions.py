@@ -93,3 +93,42 @@ def test_short_interval_lookback_matches_reference_zero_wrap():
         robs, rrew, rterm, rtrunc, _ = ref.step(np.float32(0.1))
         state, out = step(state, jnp.float32(0.1))
         np.testing.assert_allclose(rrew, float(out.reward), rtol=2e-3, atol=2e-3)
+
+
+def test_partial_terminal_interval_fallthrough_semantics():
+    """Terminal interval that runs only half its sub-steps with ||u(T)|| >= 20:
+    TunedReward falls through to the lookback difference (tuned_reward_1d.py:40).
+    The engine must take the SAME branch as the reference (cur_norm is exact on
+    partial intervals), with the lookback value subject to the documented
+    lag-targeted-norms approximation (RewardCtx.norm_at_lag docstring) — no
+    reference configuration has partial intervals."""
+    hyperbolic = load_reference_module("pde_control_gym.src.environments1d.hyperbolic")
+    tuned = load_reference_module("pde_control_gym.src.rewards.tuned_reward_1d")
+    T, DT, DX = 0.015, 1e-4, 1e-2  # nt=151: intervals of 100 then 50 sub-steps
+    u0 = np.full(100, 30.0, np.float32)  # ||u|| stays >> 20 -> fall-through
+    ref = hyperbolic.TransportPDE1D(
+        T=T, dt=DT, X=1.0, dx=DX,
+        reward_class=tuned.TunedReward1D(int(round(T / DT)), -1e3, 3e2),
+        normalize=False, sensing_loc="full", control_type="Dirchilet",
+        sensing_type="Dirchilet", sensing_noise_func=lambda s: s,
+        limit_pde_state_size=False, max_state_value=1e10, max_control_value=20,
+        reset_init_condition_func=lambda n: u0,
+        reset_recirculation_func=lambda n: np.zeros(n, np.float32),
+        control_sample_rate=0.01,
+    )
+    ref.reset()
+
+    cfg = Boundary1DConfig(T=T, dt=DT, X=1.0, dx=DX, control_sample_rate=0.01)
+    env = TransportEnv(cfg, TunedReward1D(int(round(T / DT)), -1e3, 3e2))
+    state, _ = env.init_from(u0, np.zeros(100, np.float32))
+    step = jax.jit(env.step)
+    for i in range(2):
+        robs, rrew, rterm, rtrunc, _ = ref.step(np.float32(0.0))
+        state, out = step(state, jnp.float32(0.0))
+        assert rterm == bool(out.terminated)
+        if i == 0:  # full interval: exact
+            np.testing.assert_allclose(rrew, float(out.reward), rtol=1e-4)
+        else:  # partial terminal: same (fall-through) branch, not the +300 bonus
+            assert abs(float(out.reward)) < 10.0 and abs(rrew) < 10.0
+            np.testing.assert_allclose(rrew, float(out.reward), atol=2.0)
+    assert rterm  # second interval was partial (50 of 100 sub-steps)
