@@ -151,3 +151,16 @@ def test_gymnasium_official_conformance_checker():
         verbose=False,
     ).unwrapped
     check_env(tr, skip_render_check=True)
+
+    rd = gym.make(
+        "PDEControlGym-ReactionDiffusionPDE1D",
+        T=0.01, dt=1e-5, X=1.0, dx=5e-3,
+        reward_class=TunedReward1D(1000, -1e3, 3e2),
+        normalize=True, sensing_loc="full", control_type="Dirchilet",
+        sensing_type="Neumann", sensing_noise_func=lambda s: s,
+        limit_pde_state_size=True, max_state_value=1e10, max_control_value=20,
+        reset_init_condition_func=lambda n: np.ones(n + 1, np.float32),
+        reset_recirculation_func=lambda n: np.zeros(n + 1, np.float32),
+        control_sample_rate=1e-3,
+    ).unwrapped
+    check_env(rd, skip_render_check=True)
