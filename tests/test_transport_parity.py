@@ -179,3 +179,39 @@ def test_batched_vmap_rollout():
     s0, _ = env.init(keys[0])
     s0, out0 = jax.jit(env.step)(s0, actions[0])
     np.testing.assert_allclose(np.asarray(out.obs[0]), np.asarray(out0.obs), atol=1e-6)
+
+
+def test_notebook_fixed_ic_golden_values():
+    """Deterministic reproduction of the published notebook table
+    (HyperbolicPDEExample.ipynb cell 22): T=10, backstepping, fixed ICs.
+    Published: u0=1 -> reward 289.84 / sumL2 106.09; u0=10 -> 198.38 / 1060.86."""
+    T10 = 10.0
+    cfg = Boundary1DConfig(
+        T=T10, dt=DT, X=X, dx=DX, control_sample_rate=RATE,
+        limit_pde_state_size=True, max_state_value=1e10,
+    )
+    env = TransportEnv(cfg, TunedReward1D(int(round(T10 / DT)), -1e3, 3e2))
+    spatial = np.linspace(DX, X, NX)
+    kern = transport_kernel(
+        jnp.asarray(5 * np.cos(7.35 * np.arccos(spatial)), jnp.float32), DX
+    )
+
+    @jax.jit
+    def run(u0):
+        state, obs = env.init_from(u0, jnp.asarray(_beta(NX)))
+
+        def body(carry, _):
+            state, obs = carry
+            a = transport_control(kern, obs, DX)
+            state, out = env.step(state, a)
+            return (state, out.obs), (out.reward, jnp.linalg.norm(out.obs))
+
+        (_, _), (rews, norms) = jax.lax.scan(body, (state, obs), None, length=100)
+        return rews.sum(), norms.sum()
+
+    r1, l2_1 = run(jnp.ones(NX, jnp.float32))
+    np.testing.assert_allclose(float(r1), 289.84, atol=0.5)
+    np.testing.assert_allclose(float(l2_1), 106.09, rtol=5e-3)
+    r10, l2_10 = run(jnp.full(NX, 10.0, jnp.float32))
+    np.testing.assert_allclose(float(r10), 198.38, atol=0.5)
+    np.testing.assert_allclose(float(l2_10), 1060.86, rtol=5e-3)
