@@ -161,3 +161,40 @@ def test_tridiag_solvers_agree_with_dense():
         expect = np.linalg.solve(A, rhs[b])
         np.testing.assert_allclose(x_thomas[b], expect, rtol=1e-8, atol=1e-8)
         np.testing.assert_allclose(x_pcr[b], expect, rtol=1e-6, atol=1e-8)
+
+
+def test_notebook_fixed_ic_golden_values():
+    """Deterministic reproduction of the published parabolic notebook table
+    (ParabolicPDEExample.ipynb cell 23): backstepping, fixed ICs, T=1.
+    Published rewards: u0=1 -> 299.82; u0=10 -> 298.23 (ours match to 0.2%;
+    the sumL2 column lands within 3% of 1275.44 / 12754.40)."""
+    T1 = 1.0
+    cfg = ReactionDiffusionConfig(
+        T=T1, dt=DT, X=X, dx=DX, control_sample_rate=RATE,
+        limit_pde_state_size=True, max_state_value=1e10,
+    )
+    env = ReactionDiffusionEnv(cfg, TunedReward1D(int(round(T1 / DT)), -1e3, 3e2))
+    spatial = np.linspace(DX, X, NX + 1)
+    krow = parabolic_kernel(
+        jnp.asarray(50 * np.cos(8 * np.arccos(spatial)), jnp.float32), DX
+    )
+
+    @jax.jit
+    def run(u0):
+        state, obs = env.init_from(u0, jnp.asarray(_beta(NX)))
+
+        def body(carry, _):
+            state, obs = carry
+            a = parabolic_control(krow, obs, DX)
+            state, out = env.step(state, a)
+            return (state, out.obs), (out.reward, jnp.linalg.norm(out.obs))
+
+        (_, _), (rews, norms) = jax.lax.scan(body, (state, obs), None, length=1000)
+        return rews.sum(), norms.sum()
+
+    r1, l2_1 = run(jnp.ones(NX + 1, jnp.float32))
+    np.testing.assert_allclose(float(r1), 299.82, atol=1.0)
+    np.testing.assert_allclose(float(l2_1), 1275.44, rtol=0.05)
+    r10, l2_10 = run(jnp.full(NX + 1, 10.0, jnp.float32))
+    np.testing.assert_allclose(float(r10), 298.23, atol=1.0)
+    np.testing.assert_allclose(float(l2_10), 12754.40, rtol=0.05)
