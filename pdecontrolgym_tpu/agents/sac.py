@@ -113,14 +113,25 @@ class SACRunner:
 
 
 class SACTrainer:
-    def __init__(self, env, config: SACConfig = SACConfig()):
+    """``mesh=`` shards envs AND the replay buffer over a 1D env mesh (each
+    shard keeps its own replay slice — standard distributed off-policy
+    training); params/targets replicate and gradients ``pmean``-reduce, like
+    the PPO trainer."""
+
+    def __init__(self, env, config: SACConfig = SACConfig(), mesh=None):
         self.env = env
         self.cfg = config
+        self.mesh = mesh
         self.adim = env.action_dim
         self.actor = Actor(self.adim, config.hidden)
         self.critic = TwinCritic(config.hidden)
         self.tx = optax.adam(config.lr)
         self.target_entropy = -float(self.adim)
+        if mesh is not None:
+            if config.num_envs % mesh.size or config.buffer_size % mesh.size:
+                raise ValueError(
+                    "num_envs and buffer_size must divide over the mesh"
+                )
 
     def _scale(self, a):
         c = self.cfg
@@ -151,7 +162,7 @@ class SACTrainer:
             ptr=jnp.zeros((), jnp.int32),
             size=jnp.zeros((), jnp.int32),
         )
-        return SACRunner(
+        runner = SACRunner(
             actor_params=actor_params,
             critic_params=critic_params,
             target_params=critic_params,
@@ -162,33 +173,86 @@ class SACTrainer:
             obs=obs,
             key=key,
         )
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from pdecontrolgym_tpu.parallel.mesh import ENV_AXIS
+
+            sh = NamedSharding(self.mesh, P(ENV_AXIS))
+            rp = NamedSharding(self.mesh, P())
+            put = lambda t, s_: jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, s_), t
+            )
+            runner = SACRunner(
+                actor_params=put(runner.actor_params, rp),
+                critic_params=put(runner.critic_params, rp),
+                target_params=put(runner.target_params, rp),
+                log_alpha=jax.device_put(runner.log_alpha, rp),
+                opt_states=put(runner.opt_states, rp),
+                buffer=Buffer(
+                    obs=jax.device_put(buffer.obs, sh),
+                    action=jax.device_put(buffer.action, sh),
+                    reward=jax.device_put(buffer.reward, sh),
+                    next_obs=jax.device_put(buffer.next_obs, sh),
+                    done=jax.device_put(buffer.done, sh),
+                    ptr=jax.device_put(buffer.ptr, rp),
+                    size=jax.device_put(buffer.size, rp),
+                ),
+                env_state=put(runner.env_state, sh),
+                obs=jax.device_put(runner.obs, sh),
+                key=jax.device_put(runner.key, rp),
+            )
+        return runner
 
     def make_train_step(self):
-        return jax.jit(self._train_step)
+        if self.mesh is None:
+            return jax.jit(self._train_step)
+        from jax.sharding import PartitionSpec as P
+
+        from pdecontrolgym_tpu.parallel.mesh import ENV_AXIS
+
+        shard, repl = P(ENV_AXIS), P()
+        buf_spec = Buffer(obs=shard, action=shard, reward=shard,
+                          next_obs=shard, done=shard, ptr=repl, size=repl)
+        in_specs = SACRunner(
+            actor_params=repl, critic_params=repl, target_params=repl,
+            log_alpha=repl, opt_states=repl, buffer=buf_spec,
+            env_state=shard, obs=shard, key=repl,
+        )
+        sharded = jax.shard_map(
+            self._train_step, mesh=self.mesh,
+            in_specs=(in_specs,), out_specs=(in_specs, repl),
+            check_vma=False,
+        )
+        return jax.jit(sharded)
 
     def _collect(self, runner: SACRunner, key):
         cfg = self.cfg
 
         def env_step(carry, step_key):
             env_state, obs, buffer = carry
+            # local (per-shard) counts come from array shapes so the same code
+            # runs whole-batch or inside shard_map
+            n_local = obs.shape[0]
+            cap = buffer.obs.shape[0]
             a_key, r_key = jax.random.split(step_key)
             mean, log_std = self.actor.apply(runner.actor_params, obs)
             act, _ = _squash(mean, log_std, a_key)
             env_action = self._scale(act)
             ea = env_action[:, 0] if self.adim == 1 else env_action
             env_state, out = jax.vmap(self.env.autoreset_step)(
-                env_state, ea, jax.random.split(r_key, cfg.num_envs)
+                env_state, ea, jax.random.split(r_key, n_local)
             )
             done = jnp.logical_or(out.terminated, out.truncated)
-            idx = (buffer.ptr + jnp.arange(cfg.num_envs)) % cfg.buffer_size
+            idx = (buffer.ptr + jnp.arange(n_local)) % cap
             buffer = buffer.replace(
                 obs=buffer.obs.at[idx].set(obs),
                 action=buffer.action.at[idx].set(act),
                 reward=buffer.reward.at[idx].set(out.reward * cfg.reward_scale),
                 next_obs=buffer.next_obs.at[idx].set(out.obs),
                 done=buffer.done.at[idx].set(done),
-                ptr=(buffer.ptr + cfg.num_envs) % cfg.buffer_size,
-                size=jnp.minimum(buffer.size + cfg.num_envs, cfg.buffer_size),
+                ptr=(buffer.ptr + n_local) % cap,
+                size=jnp.minimum(buffer.size + n_local, cap),
             )
             return (env_state, out.obs, buffer), out.reward
 
@@ -227,6 +291,9 @@ class SACTrainer:
                 return jnp.mean((q1 - target) ** 2 + (q2 - target) ** 2)
 
             closs, cgrads = jax.value_and_grad(critic_loss)(critic_params)
+            if self.mesh is not None:
+                from pdecontrolgym_tpu.parallel.mesh import ENV_AXIS
+                cgrads = jax.lax.pmean(cgrads, ENV_AXIS)
             cupd, copt = self.tx.update(cgrads, opts[1], critic_params)
             critic_params = optax.apply_updates(critic_params, cupd)
 
@@ -239,6 +306,9 @@ class SACTrainer:
             (aloss, logp), agrads = jax.value_and_grad(actor_loss, has_aux=True)(
                 actor_params
             )
+            if self.mesh is not None:
+                from pdecontrolgym_tpu.parallel.mesh import ENV_AXIS
+                agrads = jax.lax.pmean(agrads, ENV_AXIS)
             aupd, aopt = self.tx.update(agrads, opts[0], actor_params)
             actor_params = optax.apply_updates(actor_params, aupd)
 
@@ -249,6 +319,9 @@ class SACTrainer:
                     )
 
                 _, lgrad = jax.value_and_grad(alpha_loss)(log_alpha)
+                if self.mesh is not None:
+                    from pdecontrolgym_tpu.parallel.mesh import ENV_AXIS
+                    lgrad = jax.lax.pmean(lgrad, ENV_AXIS)
                 lupd, lopt = self.tx.update(lgrad, opts[2], log_alpha)
                 log_alpha = optax.apply_updates(log_alpha, lupd)
             else:
@@ -268,7 +341,13 @@ class SACTrainer:
         return carry, losses
 
     def _train_step(self, runner: SACRunner):
-        key, c_key, u_key = jax.random.split(runner.key, 3)
+        if self.mesh is not None:
+            from pdecontrolgym_tpu.parallel.mesh import ENV_AXIS
+            local = jax.random.fold_in(runner.key, jax.lax.axis_index(ENV_AXIS))
+            _, c_key, u_key = jax.random.split(local, 3)
+            key, _ = jax.random.split(runner.key)  # replicated stream advances
+        else:
+            key, c_key, u_key = jax.random.split(runner.key, 3)
         env_state, obs, buffer, mean_rew = self._collect(runner, c_key)
         (ap, cp, tp, la, opts), (closs, aloss) = self._update(
             runner.replace(buffer=buffer), buffer, u_key

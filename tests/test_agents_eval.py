@@ -90,3 +90,24 @@ def test_metrics_logger(tmp_path):
     logger.close()
     rows = [json.loads(l) for l in open(tmp_path / "metrics.jsonl")]
     assert rows[0]["mean_reward"] == 1.5 and rows[1]["step"] == 10
+
+
+def test_sac_sharded_eight_devices():
+    from pdecontrolgym_tpu.parallel.mesh import env_mesh
+
+    assert jax.device_count() >= 8
+    env = _env()
+    mesh = env_mesh(jax.devices()[:8])
+    cfg = SACConfig(num_envs=32, buffer_size=1024, batch_size=32,
+                    steps_per_iter=2, updates_per_iter=2, hidden=(16, 16))
+    trainer = SACTrainer(env, cfg, mesh=mesh)
+    runner = trainer.init(jax.random.key(0))
+    step = trainer.make_train_step()
+    for _ in range(2):
+        runner, m = step(runner)
+    assert np.isfinite(float(m["mean_reward"]))
+    # params replicated; buffer stays sharded over the env axis
+    p = jax.tree_util.tree_leaves(runner.actor_params)[0]
+    assert p.sharding.is_fully_replicated
+    assert not runner.buffer.obs.sharding.is_fully_replicated
+    assert int(runner.buffer.size) == 2 * 2 * (32 // 8)  # per-shard count
