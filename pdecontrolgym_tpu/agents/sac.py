@@ -25,7 +25,7 @@ class SACConfig:
     lr: float = 3e-4
     num_envs: int = 64
     buffer_size: int = 100_000
-    batch_size: int = 256
+    batch_size: int = 256  # per-shard when mesh-sharded (global batch = batch_size x shards)
     gamma: float = 0.99
     tau: float = 0.005
     steps_per_iter: int = 8  # env steps collected per train iteration
