@@ -164,3 +164,29 @@ def test_gymnasium_official_conformance_checker():
         control_sample_rate=1e-3,
     ).unwrapped
     check_env(rd, skip_render_check=True)
+
+
+def test_vector_env_non_square_ns_obs_shape():
+    import jax.numpy as jnp
+    from pdecontrolgym_tpu.compat.vector import PDEVectorEnv
+    from pdecontrolgym_tpu.envs.navier_stokes import (
+        NavierStokesConfig, NavierStokesEnv, freeze_boundary_condition,
+    )
+    from pdecontrolgym_tpu.rewards.ns import NSReward
+
+    bc = freeze_boundary_condition({
+        "upper": ["Controllable", "Dirchilet"],
+        "lower": ["Dirchilet", "Dirchilet"],
+        "left": ["Dirchilet", "Dirchilet"],
+        "right": ["Dirchilet", "Dirchilet"],
+    })
+    cfg = NavierStokesConfig(T=0.02, dt=1e-3, X=1.0, dx=0.05, Y=2.0, dy=0.05,
+                             maximum_pressure_iteration=10,
+                             boundary_condition=bc, dtype=jnp.float32)
+    env = NavierStokesEnv(cfg, NSReward(0.1),
+                          np.zeros((cfg.nt, cfg.ny, cfg.nx, 2), np.float32),
+                          np.zeros(cfg.nt, np.float32))
+    venv = PDEVectorEnv(env, num_envs=3)
+    obs, _ = venv.reset()
+    assert venv.single_observation_space.shape == obs.shape[1:]  # (ny, nx, 2)
+    assert obs.shape == (3, cfg.ny, cfg.nx, 2)
