@@ -6,6 +6,8 @@ error and axon length evolve under the env's built-in backstepping law
 (``step()`` takes no action). The whole horizon runs as one jitted scan.
 """
 
+import argparse
+
 import numpy as np
 
 import jax
@@ -15,12 +17,15 @@ from pdecontrolgym_tpu.envs.neuron import NeuronConfig, NeuronEnv
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=200_000)
+    args = ap.parse_args()
     cfg = NeuronConfig()  # T=180, dt=5e-6, X=12um, dx=0.01 (tutorial values)
     env = NeuronEnv(cfg)
     state, _ = env.init(None)
     l0 = float(state.Z[1] + cfg.LSubS)
 
-    steps = 200_000
+    steps = args.steps
 
     @jax.jit
     def run(state):

@@ -133,6 +133,13 @@ class SACTrainer:
                     "num_envs and buffer_size must divide over the mesh"
                 )
 
+    def _pmean(self, x):
+        if self.mesh is None:
+            return x
+        from pdecontrolgym_tpu.parallel.mesh import ENV_AXIS
+
+        return jax.lax.pmean(x, ENV_AXIS)
+
     def _scale(self, a):
         c = self.cfg
         return c.action_low + 0.5 * (a + 1.0) * (c.action_high - c.action_low)
@@ -291,9 +298,7 @@ class SACTrainer:
                 return jnp.mean((q1 - target) ** 2 + (q2 - target) ** 2)
 
             closs, cgrads = jax.value_and_grad(critic_loss)(critic_params)
-            if self.mesh is not None:
-                from pdecontrolgym_tpu.parallel.mesh import ENV_AXIS
-                cgrads = jax.lax.pmean(cgrads, ENV_AXIS)
+            cgrads = self._pmean(cgrads)
             cupd, copt = self.tx.update(cgrads, opts[1], critic_params)
             critic_params = optax.apply_updates(critic_params, cupd)
 
@@ -306,9 +311,7 @@ class SACTrainer:
             (aloss, logp), agrads = jax.value_and_grad(actor_loss, has_aux=True)(
                 actor_params
             )
-            if self.mesh is not None:
-                from pdecontrolgym_tpu.parallel.mesh import ENV_AXIS
-                agrads = jax.lax.pmean(agrads, ENV_AXIS)
+            agrads = self._pmean(agrads)
             aupd, aopt = self.tx.update(agrads, opts[0], actor_params)
             actor_params = optax.apply_updates(actor_params, aupd)
 
@@ -319,9 +322,7 @@ class SACTrainer:
                     )
 
                 _, lgrad = jax.value_and_grad(alpha_loss)(log_alpha)
-                if self.mesh is not None:
-                    from pdecontrolgym_tpu.parallel.mesh import ENV_AXIS
-                    lgrad = jax.lax.pmean(lgrad, ENV_AXIS)
+                lgrad = self._pmean(lgrad)
                 lupd, lopt = self.tx.update(lgrad, opts[2], log_alpha)
                 log_alpha = optax.apply_updates(log_alpha, lupd)
             else:
@@ -358,9 +359,9 @@ class SACTrainer:
             env_state=env_state, obs=obs, key=key,
         )
         metrics = {
-            "mean_reward": mean_rew,
-            "critic_loss": closs.mean(),
-            "actor_loss": aloss.mean(),
+            "mean_reward": self._pmean(mean_rew),
+            "critic_loss": self._pmean(closs.mean()),
+            "actor_loss": self._pmean(aloss.mean()),
             "alpha": jnp.exp(la),
         }
         return new_runner, metrics

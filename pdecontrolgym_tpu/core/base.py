@@ -71,7 +71,14 @@ class RewardCtx:
     extras: Any = None
 
     def _at(self, back):
-        return self.norms[..., self.norms.shape[-1] - 1 - back]
+        # clamp under-declared lags to the window's oldest entry instead of
+        # silently wrapping via negative indexing
+        idx = self.norms.shape[-1] - 1 - back
+        if isinstance(back, int):
+            idx = max(idx, 0)  # static — keeps the indexing gather-free
+        else:
+            idx = jnp.maximum(idx, 0)
+        return self.norms[..., idx]
 
     @property
     def cur_norm(self) -> jnp.ndarray:

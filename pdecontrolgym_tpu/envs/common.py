@@ -252,11 +252,13 @@ class Boundary1DEnv(FunctionalEnv):
         splice of the carried window and this interval's norms. A per-env
         dynamic slice at `executed` would keep the window aligned on partial
         (terminal) intervals too, but vmapped dynamic slices lower to a slow
-        TPU gather (measured 2.5x on the whole Burgers env). Instead the
-        window is laid out assuming a full interval and RewardCtx corrects
-        reads by the per-env shortfall (``interval - executed``) with cheap
-        scalar gathers — exact wherever the indexed row is inside the window
-        (always, when intervals divide the horizon: every reference config)."""
+        TPU gather (measured 2.5x on the whole Burgers env). The window is
+        laid out assuming a full interval and read with static end-relative
+        indices: exact on every full interval (all reference configs divide
+        the horizon); on a partial terminal interval the current-row norm is
+        still exact (frozen sub-steps re-evaluate the unchanged row into the
+        final slot) while historical lag reads return the frozen norm — see
+        RewardCtx.norm_at_lag."""
         S, W = self.config.sample_rate, self.window
         if norms.shape[-1] >= W:
             return norms[..., -W:]

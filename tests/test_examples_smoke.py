@@ -35,3 +35,14 @@ def test_eval_compare_transport_no_rl(capsys):
          ["--ppo-iters", "0", "--episodes", "4"])
     out = capsys.readouterr().out
     assert "backstepping" in out and "zero" in out
+
+
+def test_neuron_growth_smoke(capsys):
+    _run("examples/neuron_growth.py", ["--steps", "50"])
+    assert "axon length" in capsys.readouterr().out
+
+
+def test_eval_compare_rd_no_rl(capsys):
+    _run("examples/eval_compare_reaction_diffusion.py",
+         ["--ppo-iters", "0", "--episodes", "2"])
+    assert "backstepping" in capsys.readouterr().out
