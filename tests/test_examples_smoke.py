@@ -46,3 +46,10 @@ def test_eval_compare_rd_no_rl(capsys):
     _run("examples/eval_compare_reaction_diffusion.py",
          ["--ppo-iters", "0", "--episodes", "2"])
     assert "backstepping" in capsys.readouterr().out
+
+
+def test_multichip_ppo_smoke(capsys):
+    _run("examples/multichip_ppo.py",
+         ["--iterations", "2", "--envs-per-device", "4"])
+    out = capsys.readouterr().out
+    assert "params replicated across mesh: True" in out
