@@ -53,3 +53,19 @@ def test_multichip_ppo_smoke(capsys):
          ["--iterations", "2", "--envs-per-device", "4"])
     out = capsys.readouterr().out
     assert "params replicated across mesh: True" in out
+
+
+def test_bench_scaling_smoke(capsys):
+    """Scaling-efficiency harness runs mesh sizes {1,2} on the virtual mesh
+    and emits one JSON line per mesh size with an efficiency field."""
+    import json
+
+    _run("bench_scaling.py",
+         ["--mesh-sizes", "1,2", "--envs-per-device", "4",
+          "--agent-steps", "2", "--repeats", "1"])
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    assert len(lines) == 2
+    rows = [json.loads(l) for l in lines]
+    assert rows[0]["mesh_size"] == 1 and rows[1]["mesh_size"] == 2
+    assert rows[0]["efficiency"] == 1.0
+    assert rows[1]["value"] > 0
