@@ -31,6 +31,8 @@ from pdecontrolgym_tpu.core.base import FunctionalEnv, RewardCtx, StepOut
 from pdecontrolgym_tpu.ops.poisson2d import (
     ddx,
     ddy,
+    direct_pressure,
+    direct_pressure_setup,
     jacobi_pressure,
     jacobi_pressure_flat,
     laplacian,
@@ -56,6 +58,11 @@ class NavierStokesConfig:
     normalize: bool = False
     dtype: Any = jnp.float64
     pressure_layout: str = "grid"  # "grid" (parity) | "flat" (lane-flattened)
+    # "jacobi": the reference's fixed-iteration sweep (parity at 2000 iters).
+    # "direct": exact spectral solve of the same fixed point via DCT-II
+    # matmuls (ops/poisson2d.direct_pressure) — the fast mode; it ignores
+    # maximum_pressure_iteration and is MORE accurate than any finite sweep.
+    pressure_solver: str = "jacobi"
     # per-edge (u_condition, v_condition) ordered (lower, upper, left, right);
     # default mirrors the examples' dict: controllable lid at the upper edge
     # (``NS2Dppo.py:21-26``). Use freeze_boundary_condition() to convert a dict.
@@ -147,6 +154,11 @@ class NavierStokesEnv(FunctionalEnv):
         self.U_ref = jnp.asarray(U_ref, c.dtype)
         self.action_ref = jnp.asarray(action_ref, c.dtype)
         self.ic_sampler = ic_sampler
+        self._poisson_basis = (
+            direct_pressure_setup(c.ny, c.nx, c.dtype)
+            if getattr(c, "pressure_solver", "jacobi") == "direct"
+            else None
+        )
 
     @property
     def obs_shape(self):
@@ -224,6 +236,10 @@ class NavierStokesEnv(FunctionalEnv):
 
     def solve_pressure(self, u, v, p_prev, iters: Optional[int] = None):
         c = self.config
+        if self._poisson_basis is not None:
+            return direct_pressure(
+                u, v, p_prev, c.dx, c.dy, c.dt, c.density, self._poisson_basis
+            )
         solver = (
             jacobi_pressure_flat
             if getattr(c, "pressure_layout", "grid") == "flat"

@@ -106,6 +106,63 @@ def jacobi_pressure_flat(u, v, p0, dx, dy, dt, density, iters: int):
     return pf.reshape(lead + (ny, nx))
 
 
+def dct2_basis(n: int, dtype=jnp.float32):
+    """Orthonormal DCT-II basis Q (n, n): columns q_k[j] =
+    c_k·cos(πk(2j+1)/(2n)) diagonalize the mirror-Neumann 1D Laplacian
+    A = tridiag(−1, 2, −1) with A[0,0] = A[n−1,n−1] = 1 — exactly the
+    operator of the reference's Jacobi fixed point, where ring cells copy
+    their inner neighbor each sweep (``navier_stokes2D.py:104-114``).
+    Eigenvalues: λ_k = 2 − 2cos(πk/n)."""
+    import numpy as np
+
+    j = np.arange(n)[:, None]
+    k = np.arange(n)[None, :]
+    q = np.cos(np.pi * k * (2 * j + 1) / (2 * n))
+    q *= np.where(k == 0, np.sqrt(1.0 / n), np.sqrt(2.0 / n))
+    lam = 2.0 - 2.0 * np.cos(np.pi * np.arange(n) / n)
+    return jnp.asarray(q, dtype), jnp.asarray(lam, dtype)
+
+
+def direct_pressure_setup(ny: int, nx: int, dtype=jnp.float32):
+    """Precompute the spectral factors for :func:`direct_pressure` on the
+    (ny−2)×(nx−2) interior grid. Returns a pytree of device constants."""
+    m, n = ny - 2, nx - 2
+    qy, ly = dct2_basis(m, dtype)
+    qx, lx = dct2_basis(n, dtype)
+    denom = ly[:, None] + lx[None, :]
+    inv = jnp.where(denom > 0, 1.0 / jnp.maximum(denom, 1e-30), 0.0)
+    return {"qy": qy, "qx": qx, "inv": inv}
+
+
+def direct_pressure(u, v, p0, dx, dy, dt, density, basis):
+    """Direct (spectral) solve of the pressure-Poisson fixed point — the fast
+    mode that replaces thousands of Jacobi sweeps with four dense matmuls.
+
+    The Jacobi iteration the reference runs 2000× converges (on the
+    orthogonal complement of the constant mode) to the solution of
+    ``L P = −dx·dy·RHS`` with L the 2D mirror-Neumann Laplacian; the constant
+    mode never converges (pure-Neumann singularity) and is irrelevant because
+    only ∇p enters the corrector. Here L is diagonalized by the DCT-II basis
+    (:func:`dct2_basis`), so the exact solution is
+    ``P = Q_y · [(Q_yᵀ G Q_x) ⊘ (λ_y ⊕ λ_x)] · Q_xᵀ`` with the (0,0) mode
+    zeroed — batched einsums that ride the MXU. More accurate than ANY finite
+    Jacobi iteration count and ~3 orders of magnitude cheaper than 2000
+    sweeps. ``p0`` is accepted for signature parity and ignored (direct
+    solves need no initial guess)."""
+    qy, qx, inv = basis["qy"], basis["qx"], basis["inv"]
+    rhs = density / dt * (ddx(u, dx) + ddy(v, dy))
+    g = -dx * dy * rhs[..., 1:-1, 1:-1]
+    # spectral transform: T = Qyᵀ @ G @ Qx  (batched over leading axes)
+    t = jnp.einsum("im,...ij,jn->...mn", qy, g, qx)
+    t = t * inv  # per-mode inverse eigenvalue; (0,0) null mode -> 0
+    p_int = jnp.einsum("im,...mn,jn->...ij", qy, t, qx)
+    # embed with the reference's mirror ring (sequential copy order so the
+    # corner values match what a converged Jacobi sweep leaves behind)
+    p = jnp.zeros_like(u)
+    p = p.at[..., 1:-1, 1:-1].set(p_int.astype(u.dtype))
+    return _neumann_edges(p)
+
+
 def jacobi_pressure(u, v, p0, dx, dy, dt, density, iters: int):
     """Fixed-iteration Jacobi solve of ∇²p = ρ/dt·(∂u/∂x + ∂v/∂y).
 

@@ -173,3 +173,61 @@ def test_flat_pressure_layout_matches_grid():
         sg, outg = jax.jit(env_g.step)(sg, jnp.asarray([2.0]))
         sf, outf = jax.jit(env_f.step)(sf, jnp.asarray([2.0]))
     np.testing.assert_allclose(np.asarray(outg.obs), np.asarray(outf.obs), rtol=1e-12)
+
+
+def test_direct_pressure_matches_converged_jacobi():
+    """The DCT-II spectral solve is the exact fixed point of the reference's
+    Jacobi sweep: it matches a (effectively) converged Jacobi run to ~1e-10
+    and is invariant under one further sweep (modulo the singular constant
+    mode, which only drifts the mean — ∇p is what the corrector uses)."""
+    from pdecontrolgym_tpu.ops.poisson2d import (
+        direct_pressure,
+        direct_pressure_setup,
+        jacobi_pressure,
+    )
+
+    rng = np.random.default_rng(3)
+    u = jnp.asarray(rng.normal(size=(21, 21)))
+    v = jnp.asarray(rng.normal(size=(21, 21)))
+    p0 = jnp.zeros((21, 21))
+    pj = jacobi_pressure(u, v, p0, 0.05, 0.05, 1e-3, 1.0, 200_000)
+    basis = direct_pressure_setup(21, 21, jnp.float64)
+    pd = direct_pressure(u, v, p0, 0.05, 0.05, 1e-3, 1.0, basis)
+
+    pj0 = pj - pj[1:-1, 1:-1].mean()
+    pd0 = pd - pd[1:-1, 1:-1].mean()
+    np.testing.assert_allclose(np.asarray(pj0), np.asarray(pd0), atol=1e-9)
+
+    # sweep invariance: one more Jacobi iteration starting from the direct
+    # solution changes nothing (up to the mean mode)
+    ps = jacobi_pressure(u, v, pd, 0.05, 0.05, 1e-3, 1.0, 1)
+    ps0 = ps - ps[1:-1, 1:-1].mean()
+    np.testing.assert_allclose(np.asarray(ps0), np.asarray(pd0), atol=1e-11)
+
+
+def test_direct_solver_env_trajectory_close_to_parity_mode():
+    """Full NS episodes under pressure_solver='direct' track the 2000-iter
+    parity mode: the direct solve is *more* converged, so velocity fields stay
+    within the Jacobi truncation error."""
+    import dataclasses
+
+    U_ref, action_ref = _refs()
+    env_j = _tpu_env(U_ref, action_ref, iters=2000)
+    env_d = NavierStokesEnv(
+        dataclasses.replace(env_j.config, pressure_solver="direct"),
+        env_j.reward, U_ref, action_ref,
+    )
+    u0, v0, p0 = _ic()
+    sj, _ = env_j.init_from(u0, v0, p0)
+    sd, _ = env_d.init_from(u0, v0, p0)
+    stepj = jax.jit(env_j.step)
+    stepd = jax.jit(env_d.step)
+    for _ in range(10):
+        sj, outj = stepj(sj, jnp.asarray([2.0]))
+        sd, outd = stepd(sd, jnp.asarray([2.0]))
+    np.testing.assert_allclose(
+        np.asarray(outd.obs), np.asarray(outj.obs), rtol=2e-3, atol=2e-4
+    )
+    assert abs(float(outd.reward) - float(outj.reward)) < 1e-3 * max(
+        1.0, abs(float(outj.reward))
+    )
