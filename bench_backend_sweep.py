@@ -1,0 +1,90 @@
+"""Pallas-vs-XLA crossover sweep over state dimension (docs/PERFORMANCE.md).
+
+For each env family and nx, measures sub-steps/s for ``backend='xla'``
+(lax.scan, carry VMEM-resident while it fits) and ``backend='pallas'`` (fused
+VMEM-interval kernel, ops/pallas1d). The results drive the ``backend='auto'``
+selection rules (``Boundary1DEnv._pallas_auto``).
+
+One JSON line per measurement:
+    {"env": ..., "nx": N, "backend": ..., "value": sub-steps/s}
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def _mk_transport(nx, backend):
+    from pdecontrolgym_tpu.envs.common import Boundary1DConfig
+    from pdecontrolgym_tpu.envs.transport import TransportEnv
+    from pdecontrolgym_tpu.rewards.tuned import TunedReward1D
+
+    cfg = Boundary1DConfig(
+        T=5.0, dt=1e-4, X=1.0, dx=1.0 / nx, control_sample_rate=0.1,
+        backend=backend,
+    )
+    env = TransportEnv(cfg, TunedReward1D(int(round(cfg.T / cfg.dt)), -1e3, 3e2))
+    policy = lambda obs, _k: -0.5 * obs[..., -2]
+    return env, policy, cfg.sample_rate
+
+
+def _mk_burgers(nx, backend):
+    from pdecontrolgym_tpu.envs.burgers import BurgersConfig, BurgersEnv
+    from pdecontrolgym_tpu.rewards.tuned import TunedReward1D
+
+    cfg = BurgersConfig(
+        T=1.0, dt=1e-4, X=1.0, dx=1.0 / nx, control_sample_rate=0.01,
+        viscosity=1e-3, backend=backend,
+    )
+    env = BurgersEnv(cfg, TunedReward1D(int(round(cfg.T / cfg.dt))))
+    policy = lambda obs, _k: -0.5 * obs[..., -2]
+    return env, policy, cfg.sample_rate
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--envs", type=int, default=4096)
+    ap.add_argument("--agent-steps", type=int, default=10)
+    ap.add_argument("--repeats", type=int, default=3)
+    # Burgers capped at 2048: the explicit viscous bound dt<=dx^2/(2nu)
+    # fails at nx=4096 with the default dt/viscosity
+    ap.add_argument("--transport-nx", default="128,256,512,1024,2048,4096")
+    ap.add_argument("--burgers-nx", default="128,256,512,1024,2048")
+    args = ap.parse_args()
+
+    from pdecontrolgym_tpu.parallel.rollout import rollout
+
+    jobs = []
+    for nx in args.transport_nx.split(","):
+        jobs.append(("transport", int(nx), _mk_transport))
+    for nx in args.burgers_nx.split(","):
+        jobs.append(("burgers", int(nx), _mk_burgers))
+
+    for name, nx, mk in jobs:
+        for backend in ("xla", "pallas"):
+            env, policy, sample_rate = mk(nx, backend)
+            run = jax.jit(lambda key: rollout(
+                env, policy, args.envs, args.agent_steps, key)[1].reward.sum())
+            t0 = time.time()
+            float(np.asarray(run(jax.random.key(0))))
+            compile_s = time.time() - t0
+            best = float("inf")
+            for i in range(args.repeats):
+                t0 = time.perf_counter()
+                float(np.asarray(run(jax.random.key(i + 1))))
+                best = min(best, time.perf_counter() - t0)
+            rate = args.envs * args.agent_steps * sample_rate / best
+            print(json.dumps({
+                "env": name, "nx": nx, "backend": backend,
+                "value": round(rate), "unit": "sub-steps/s",
+                "compile_s": round(compile_s, 1),
+            }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

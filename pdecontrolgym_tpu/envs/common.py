@@ -47,8 +47,12 @@ class Boundary1DConfig:
     control_sample_rate: float = 0.1
     normalize: bool = False
     dtype: Any = jnp.float32
-    backend: str = "xla"  # "xla" (lax.scan) or "pallas" (fused VMEM kernel)
+    # "xla" (lax.scan), "pallas" (fused VMEM kernel), or "auto" (each env
+    # picks the backend measured faster for its scheme/size — see the
+    # crossover sweep in docs/PERFORMANCE.md)
+    backend: str = "xla"
     scan_unroll: int = 8
+    pallas_tile_b: Optional[int] = None  # None = size-adaptive (ops/pallas1d)
     # Divergence masking (SURVEY §5 failure detection): a non-finite state
     # truncates the episode instead of silently propagating NaNs through the
     # lockstep batch. Off by default for reference parity (NumPy comparisons
@@ -322,6 +326,13 @@ class Boundary1DEnv(FunctionalEnv):
         schemes, normalized Neumann control, prev-row rewards)."""
         return None
 
+    def _pallas_auto(self) -> bool:
+        """Whether ``backend='auto'`` should pick the Pallas interval kernel
+        for this env/config. Default False (XLA's VMEM-resident scan wins for
+        light stencil bodies — docs/PERFORMANCE.md crossover sweep);
+        subclasses with heavy sub-step bodies override."""
+        return False
+
     def _get_interval_fn(self):
         fn = getattr(self, "_interval_fn", None)
         if fn is None:
@@ -340,6 +351,7 @@ class Boundary1DEnv(FunctionalEnv):
                 state_dim=self.state_dim,
                 window=self.window,
                 norm_positions=self.norm_positions,
+                tile_b=getattr(c, "pallas_tile_b", None),
                 interpret=jax.default_backend() == "cpu",
             )
             self._interval_fn = fn
@@ -348,8 +360,12 @@ class Boundary1DEnv(FunctionalEnv):
     def step_batch(self, state, actions, keys=None):
         """Step a whole ``(B, ...)`` batch. Uses the fused Pallas kernel when
         ``config.backend == 'pallas'`` and the env supports it, else vmap."""
+        backend = self.config.backend
+        want_pallas = backend == "pallas" or (
+            backend == "auto" and self._pallas_auto()
+        )
         use_pallas = (
-            self.config.backend == "pallas"
+            want_pallas
             and not self._needs_prev
             and self._get_interval_fn() is not False
         )

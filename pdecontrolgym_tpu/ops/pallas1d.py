@@ -8,9 +8,16 @@ write back once: HBM traffic per agent step drops from ``2·S·B·nx`` floats to
 ``(2·nx + S)·B`` (state in/out + the per-sub-step L2 norms the reward needs).
 
 The per-PDE row update is injected as a traced function ``update(u, beta,
-ctrl) -> (u_new, boundary)`` built from rolls and column masks (no concat), so
-transport / reaction-diffusion / Burgers share one kernel skeleton. Masking
-(``t < nt-1``) freezes finished envs exactly like the XLA path.
+ctrl, aux) -> (u_new, boundary)`` built from rolls and column masks (no
+concat), so transport / reaction-diffusion / Burgers share one kernel
+skeleton. ``aux`` carries loop-invariant boolean column masks, built ONCE
+before the sub-step loops (hand-LICM — the hot body is vector-issue-bound, so
+every hoisted vreg op is ~1/20th of the sub-step cost).
+
+Two loop variants: episodes end at ``nt-1``, so the kernel branches per tile
+on ``all(t0 + S <= nt-1)`` — the fast path (every interval except the last
+1-2 per episode) runs the raw stencil with no per-sub-step masking; the slow
+path applies the same frozen-state masking as the XLA path.
 """
 
 from __future__ import annotations
@@ -40,7 +47,7 @@ def make_interval_fn(
     state_dim: int,
     window: int,
     norm_positions: tuple = None,
-    tile_b: int = 512,
+    tile_b: int = None,
     interpret: bool = False,
 ):
     """Build ``fn(u, beta, ctrl, t0) -> (u_out, norms_win, bsum_add, t_out)``.
@@ -59,42 +66,78 @@ def make_interval_fn(
     Wp = -(-Wn // 8) * 8  # sublane-aligned cyclic buffer
     if norm_positions is None:
         norm_positions = tuple(range(S - Wn, S))
+    if tile_b is None:
+        # keep ~6 live (tile_b, state_dim) f32 buffers within a few MB of
+        # VMEM; 256 measured best at nx=256 (and compiles 5x faster than 512)
+        fit = max(1, (1 << 17) // max(state_dim, 1))
+        tile_b = max(8, min(256, 1 << (fit.bit_length() - 1)))
+    make_aux = getattr(update_fn, "make_aux", lambda shape: None)
+    boundary_const = bool(getattr(update_fn, "boundary_const", False))
 
     def kernel(u_ref, beta_ref, ctrl_ref, t0_ref, uo_ref, norms_ref, bsum_ref, to_ref):
         u0 = u_ref[:]
         beta = beta_ref[:]
         ctrl = ctrl_ref[:]
         t0 = t0_ref[:]
+        aux = make_aux(u0.shape)  # loop-invariant column masks, built once
 
+        def store_norm(j, u_new):
+            # dynamic store must index the sublane dim (lane-dim dynamic
+            # stores need 128-alignment)
+            norm_row = jnp.sqrt(jnp.sum(u_new * u_new, axis=1, keepdims=True))
+            norms_ref[pl.ds(j % Wp, 1), :] = norm_row.reshape(1, -1)
+
+        # -- masked bodies (episode boundary inside this interval) ------------
         def make_body(with_norm):
             def body(j, carry):
                 u, t, bsum = carry
                 active = t < nt - 1  # (TB, 1)
-                u_new, boundary = update_fn(u, beta, ctrl)
+                u_new, boundary = update_fn(u, beta, ctrl, aux)
                 u_new = jnp.where(active, u_new, u)
                 if with_norm:
-                    # dynamic store must index the sublane dim (lane-dim
-                    # dynamic stores need 128-alignment)
-                    norm_row = jnp.sqrt(
-                        jnp.sum(u_new * u_new, axis=1, keepdims=True)
-                    )
-                    norms_ref[pl.ds(j % Wp, 1), :] = norm_row.reshape(1, -1)
+                    store_norm(j, u_new)
                 bsum = bsum + jnp.where(active, jnp.abs(boundary), 0.0)
                 t = t + active.astype(jnp.int32)
                 return u_new, t, bsum
 
             return body
 
+        # -- fast bodies (whole tile mid-episode: no per-sub-step masking) ----
+        def make_fast_body(with_norm):
+            def body(j, carry):
+                u, t, bsum = carry
+                u_new, boundary = update_fn(u, beta, ctrl, aux)
+                if with_norm:
+                    store_norm(j, u_new)
+                if not boundary_const:
+                    bsum = bsum + jnp.abs(boundary)
+                return u_new, t, bsum
+
+            return body
+
+        def run(body_factory, carry):
+            start = 0
+            for j in norm_positions:  # static segment decomposition
+                if j > start:
+                    carry = jax.lax.fori_loop(start, j, body_factory(False), carry)
+                carry = body_factory(True)(j, carry)
+                start = j + 1
+            if S > start:
+                carry = jax.lax.fori_loop(start, S, body_factory(False), carry)
+            return carry
+
+        def fast(carry):
+            u, t, bsum = run(make_fast_body, carry)
+            if boundary_const:
+                bsum = bsum + S * jnp.abs(ctrl)
+            return u, t + S, bsum
+
+        def masked(carry):
+            return run(make_body, carry)
+
+        all_active = jnp.all(t0 + S <= nt - 1)
         carry = (u0, t0, jnp.zeros_like(ctrl))
-        start = 0
-        for j in norm_positions:  # static segment decomposition
-            if j > start:
-                carry = jax.lax.fori_loop(start, j, make_body(False), carry)
-            carry = make_body(True)(j, carry)
-            start = j + 1
-        if S > start:
-            carry = jax.lax.fori_loop(start, S, make_body(False), carry)
-        u, t, bsum = carry
+        u, t, bsum = jax.lax.cond(all_active, fast, masked, carry)
         uo_ref[:] = u
         bsum_ref[:] = bsum
         to_ref[:] = t
@@ -133,18 +176,30 @@ def make_interval_fn(
 # -- per-PDE row updates (row-parallel forms of the envs' _advance) ----------
 
 
+def _broadcast_lane(x, idx):
+    """Broadcast lane ``idx`` of each row across the full row: a lane slice +
+    broadcast is cheaper than a full-width roll when only one column is
+    needed (the Burgers left-outflow copy)."""
+    return jnp.broadcast_to(x[:, idx: idx + 1], x.shape)
+
+
 def transport_update(dt: float, dx: float, nx: int):
     """Upwind transport row update (envs/transport.py semantics): boundary
     column nx-1 is the pre-resolved control value (constant over the interval
     — the Neumann neighbor quirk reads a zero), interior is the upwind step."""
 
-    def update(u, beta, ctrl):
-        col = _col_iota(u.shape)
+    def make_aux(shape):
+        col = _col_iota(shape)
+        return {"right": col == nx - 1}
+
+    def update(u, beta, ctrl, aux):
         up = _roll(u, -1, 1)  # u[:, i+1]; wrap lands on the boundary col
         interior = u + dt * ((up - u) / dx + u[:, 0:1] * beta)
-        u_new = jnp.where(col == nx - 1, ctrl, interior)
-        return u_new, jnp.broadcast_to(ctrl, (u.shape[0], 1))
+        u_new = jnp.where(aux["right"], ctrl, interior)
+        return u_new, ctrl
 
+    update.make_aux = make_aux
+    update.boundary_const = True
     return update
 
 
@@ -155,48 +210,57 @@ def reaction_diffusion_update(dt: float, dx: float, state_dim: int,
     F = dt / dx**2
     n = state_dim
 
-    def update(u, beta, ctrl):
-        col = _col_iota(u.shape)
+    def make_aux(shape):
+        col = _col_iota(shape)
+        return {"left": col == 0, "right": col == n - 1}
+
+    def update(u, beta, ctrl, aux):
         um = _roll(u, 1, 1)
         up = _roll(u, -1, 1)
         interior = u + F * (um - 2.0 * u + up) + dt * beta * u
         if neumann:
             boundary = ctrl * dx + u[:, n - 2 : n - 1]
         else:
-            boundary = jnp.broadcast_to(ctrl, (u.shape[0], 1))
+            boundary = ctrl
         u_new = jnp.where(
-            col == 0, 0.0, jnp.where(col == n - 1, boundary, interior)
+            aux["left"], 0.0, jnp.where(aux["right"], boundary, interior)
         )
         return u_new, boundary
 
+    update.make_aux = make_aux
+    update.boundary_const = not neumann
     return update
 
 
 def burgers_update(dt: float, dx: float, nx: int, viscosity: float,
                    neumann: bool):
     """Rusanov-flux row update (envs/burgers.py): zero-gradient left outflow,
-    controlled right boundary."""
+    controlled right boundary. Viscous term folded into the face flux (see
+    envs/burgers.py:_advance)."""
+    nu_face = viscosity / dx if viscosity else 0.0
+    dtdx = dt / dx
 
-    def update(u, beta, ctrl):
-        col = _col_iota(u.shape)
+    def make_aux(shape):
+        col = _col_iota(shape)
+        return {"left": col == 0, "right": col == nx - 1}
+
+    def update(u, beta, ctrl, aux):
         up = _roll(u, -1, 1)
-        um = _roll(u, 1, 1)
         # face flux to the right of cell i (valid for i < nx-1)
-        fl, fr = 0.5 * u * u, 0.5 * up * up
-        amax = jnp.maximum(jnp.abs(u), jnp.abs(up))
-        flux_r = 0.5 * (fl + fr) - 0.5 * amax * (up - u)
+        d = up - u
+        coef = 0.5 * jnp.maximum(jnp.abs(u), jnp.abs(up)) + nu_face
+        flux_r = 0.25 * (u * u + up * up) - coef * d
         flux_l = _roll(flux_r, 1, 1)
-        interior = u - dt / dx * (flux_r - flux_l)
-        if viscosity:
-            interior = interior + viscosity * dt / (dx * dx) * (um - 2.0 * u + up)
+        interior = u - dtdx * (flux_r - flux_l)
         if neumann:
             boundary = ctrl * dx + u[:, nx - 2 : nx - 1]
         else:
-            boundary = jnp.broadcast_to(ctrl, (u.shape[0], 1))
-        u_new = jnp.where(col == nx - 1, boundary, interior)
+            boundary = ctrl
+        u_new = jnp.where(aux["right"], boundary, interior)
         # left outflow copies the NEW value at column 1
-        left = _roll(u_new, -1, 1)
-        u_new = jnp.where(col == 0, left, u_new)
+        u_new = jnp.where(aux["left"], _broadcast_lane(u_new, 1), u_new)
         return u_new, boundary
 
+    update.make_aux = make_aux
+    update.boundary_const = not neumann
     return update
