@@ -1,8 +1,14 @@
-"""Compare controllers on 1D reaction-diffusion: backstepping vs PPO.
+"""Compare controllers on 1D reaction-diffusion: backstepping vs PPO vs SAC.
 
 TPU-native ``examples/reactionDiffusionPDE/reactionDiffusion1DtestAlgorithm.py``.
 Published reference numbers (ParabolicPDEExample.ipynb cells 14-16):
-backstepping 298.98, PPO 293.19, SAC 233.11 (avg reward).
+backstepping 298.98, PPO 293.19, SAC 233.11 (avg reward over 50 episodes).
+
+PPO uses eval-based checkpoint selection (PPOTrainer.train eval_fn) — the
+policy's eval score peaks and then over-trains, exactly like picking the best
+SB3 checkpoint zip from ./logsPPO.
+
+Run: python examples/eval_compare_reaction_diffusion.py
 """
 
 import argparse
@@ -15,6 +21,7 @@ import jax.numpy as jnp
 
 from pdecontrolgym_tpu.agents.backstepping import parabolic_control, parabolic_kernel
 from pdecontrolgym_tpu.agents.ppo import PPOConfig, PPOTrainer
+from pdecontrolgym_tpu.agents.sac import SACConfig, SACTrainer
 from pdecontrolgym_tpu.envs.reaction_diffusion import (
     ReactionDiffusionConfig,
     ReactionDiffusionEnv,
@@ -29,7 +36,9 @@ NX = int(round(X / DX))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--episodes", type=int, default=50)
-    ap.add_argument("--ppo-iters", type=int, default=350)  # over-trains beyond ~350
+    ap.add_argument("--ppo-iters", type=int, default=400)
+    ap.add_argument("--sac-iters", type=int, default=300)
+    ap.add_argument("--eval-every", type=int, default=25)
     args = ap.parse_args()
 
     cfg = ReactionDiffusionConfig(
@@ -53,6 +62,21 @@ def main():
     results = compare_controllers(env, controllers, num_episodes=args.episodes,
                                   max_steps=1000)
 
+    def eval_fn_for(policy_of_params):
+        def eval_fn(params):
+            r = compare_controllers(
+                env_rl, {"c": policy_of_params(params)},
+                num_episodes=16, max_steps=1000, key=jax.random.key(7),
+            )
+            return r["c"]["mean_return"]
+
+        return eval_fn
+
+    log = lambda tag: (lambda it, m: print(
+        f"  {tag} iter {it}: mean {m['mean_reward']:+.3f}"
+        + (f"  eval {m['eval']:+.2f} (best {m['best_eval']:+.2f})"
+           if "eval" in m else ""), flush=True))
+
     if args.ppo_iters > 0:
         trainer = PPOTrainer(
             env_rl,
@@ -60,12 +84,26 @@ def main():
                       num_minibatches=16, ent_coef=1e-3,
                       reward_scale=0.02, obs_clip=50.0),
         )
-        runner = trainer.train(jax.random.key(0), args.ppo_iters, log_every=25,
-                               callback=lambda it, m: print(
-                                   f"  ppo iter {it}: {m['mean_reward']:+.3f}",
-                                   flush=True))
+        runner = trainer.train(jax.random.key(0), args.ppo_iters,
+                               eval_fn=eval_fn_for(trainer.policy),
+                               eval_every=args.eval_every, callback=log("ppo"))
         results.update(compare_controllers(
             env_rl, {"ppo": trainer.policy(runner.params)},
+            num_episodes=args.episodes, max_steps=1000,
+        ))
+
+    if args.sac_iters > 0:
+        trainer = SACTrainer(
+            env_rl,
+            SACConfig(num_envs=64, buffer_size=400_000, batch_size=512,
+                      steps_per_iter=8, updates_per_iter=32, gamma=0.9995,
+                      init_alpha=0.05, reward_scale=0.1),
+        )
+        runner = trainer.train(jax.random.key(1), args.sac_iters,
+                               eval_fn=eval_fn_for(trainer.policy),
+                               eval_every=args.eval_every, callback=log("sac"))
+        results.update(compare_controllers(
+            env_rl, {"sac": trainer.policy(runner.actor_params)},
             num_episodes=args.episodes, max_steps=1000,
         ))
 

@@ -19,25 +19,7 @@ from pdecontrolgym_tpu.rewards import TunedReward1D
 from pdecontrolgym_tpu.utils import save
 
 
-class FlatObsEnv:
-    """Flattens multi-dim observations for MLP policies (NS frames)."""
-
-    def __init__(self, env):
-        self.env = env
-        self.action_dim = env.action_dim
-
-    def init(self, key):
-        state, obs = self.env.init(key)
-        return state, obs.reshape(-1)
-
-    def step(self, state, action, key=None):
-        state, out = self.env.step(state, action, key)
-        return state, out.replace(obs=out.obs.reshape(-1))
-
-    def autoreset_step(self, state, action, key):
-        from pdecontrolgym_tpu.core.base import FunctionalEnv
-
-        return FunctionalEnv.autoreset_step(self, state, action, key)
+from pdecontrolgym_tpu.envs import FlatObsEnv
 
 
 def build(name):

@@ -30,7 +30,8 @@ class ActorCritic(nn.Module):
             x = nn.tanh(nn.Dense(h)(x))
         mean = nn.Dense(self.action_dim)(x)
         log_std = self.param(
-            "log_std", nn.initializers.constant(self.log_std_init), (self.action_dim,)
+            "log_std", nn.initializers.constant(self.log_std_init),
+            (self.action_dim,), jnp.float32,  # explicit: x64 mode would f64 it
         )
 
         v = obs

@@ -264,13 +264,36 @@ class PPOTrainer:
     # -- convenience ----------------------------------------------------------
 
     def train(self, key: jax.Array, num_iterations: int, log_every: int = 10,
-              callback=None):
+              callback=None, eval_fn=None, eval_every: int = 25,
+              select_best: bool = True):
+        """Training loop with optional eval-based checkpoint selection.
+
+        ``eval_fn(params) -> float`` (higher = better) is called every
+        ``eval_every`` iterations; with ``select_best`` the returned runner
+        carries the best-scoring parameters instead of the last ones — the
+        on-device counterpart of the reference's SB3 CheckpointCallback +
+        manual best-zip picking (``transport1Dppo.py:80-86``,
+        ``Trafficarz1d_tutorial.rst:301`` loads the 1.5e6-of-2e6 checkpoint),
+        and the fix for policies that over-train past their peak.
+        """
         runner = self.init(key)
         train_step = self.make_train_step()
+        best_score, best_params = -float("inf"), None
         for it in range(num_iterations):
             runner, metrics = train_step(runner)
-            if callback is not None and (it % log_every == 0 or it == num_iterations - 1):
+            last = it == num_iterations - 1
+            if eval_fn is not None and (it % eval_every == 0 or last):
+                score = float(eval_fn(runner.params))
+                if score > best_score:
+                    best_score, best_params = score, jax.device_get(runner.params)
+                if callback is not None:
+                    callback(it, {**jax.device_get(metrics), "eval": score,
+                                  "best_eval": best_score})
+                    continue
+            if callback is not None and (it % log_every == 0 or last):
                 callback(it, jax.device_get(metrics))
+        if select_best and best_params is not None:
+            runner = runner.replace(params=jax.device_put(best_params))
         return runner
 
     def policy(self, params, deterministic: bool = True):

@@ -77,7 +77,7 @@ class TwinCritic(nn.Module):
 
 def _squash(mean, log_std, key):
     std = jnp.exp(log_std)
-    eps = jax.random.normal(key, mean.shape)
+    eps = jax.random.normal(key, mean.shape, mean.dtype)
     pre = mean + std * eps
     act = jnp.tanh(pre)
     logp = jnp.sum(
@@ -365,6 +365,33 @@ class SACTrainer:
             "alpha": jnp.exp(la),
         }
         return new_runner, metrics
+
+    def train(self, key: jax.Array, num_iterations: int, log_every: int = 20,
+              callback=None, eval_fn=None, eval_every: int = 25,
+              select_best: bool = True):
+        """Training loop with optional eval-based checkpoint selection
+        (same contract as ``PPOTrainer.train``); ``eval_fn(actor_params) ->
+        float``, higher = better."""
+        runner = self.init(key)
+        train_step = self.make_train_step()
+        best_score, best_params = -float("inf"), None
+        for it in range(num_iterations):
+            runner, metrics = train_step(runner)
+            last = it == num_iterations - 1
+            if eval_fn is not None and (it % eval_every == 0 or last):
+                score = float(eval_fn(runner.actor_params))
+                if score > best_score:
+                    best_score = score
+                    best_params = jax.device_get(runner.actor_params)
+                if callback is not None:
+                    callback(it, {**jax.device_get(metrics), "eval": score,
+                                  "best_eval": best_score})
+                    continue
+            if callback is not None and (it % log_every == 0 or last):
+                callback(it, jax.device_get(metrics))
+        if select_best and best_params is not None:
+            runner = runner.replace(actor_params=jax.device_put(best_params))
+        return runner
 
     def policy(self, actor_params, deterministic: bool = True):
         def act(obs, key=None):

@@ -11,8 +11,16 @@ from pdecontrolgym_tpu.envs.reaction_diffusion import (
 )
 from pdecontrolgym_tpu.envs.traffic_arz import TrafficARZConfig, TrafficARZEnv
 from pdecontrolgym_tpu.envs.transport import TransportConfig, TransportEnv, chebyshev_beta
+from pdecontrolgym_tpu.envs.wrappers import (
+    FlatObsEnv,
+    TanhBoxActionEnv,
+    TransformObsEnv,
+)
 
 __all__ = [
+    "FlatObsEnv",
+    "TanhBoxActionEnv",
+    "TransformObsEnv",
     "Boundary1DConfig",
     "Boundary1DEnv",
     "Boundary1DState",

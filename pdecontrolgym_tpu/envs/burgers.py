@@ -33,10 +33,6 @@ class BurgersConfig(Boundary1DConfig):
     control_sample_rate: float = 0.01
     viscosity: float = 1e-3
     scan_unroll: int = 4  # measured best for the heavier Rusanov body
-    # the Rusanov body is heavy enough that the fused Pallas VMEM-interval
-    # kernel beats XLA's scan at every measured size (363M vs 250M sub-steps/s
-    # at nx=256, docs/PERFORMANCE.md) — auto resolves to pallas on TPU
-    backend: str = "auto"
 
 
 class BurgersEnv(Boundary1DEnv):

@@ -47,10 +47,10 @@ class Boundary1DConfig:
     control_sample_rate: float = 0.1
     normalize: bool = False
     dtype: Any = jnp.float32
-    # "xla" (lax.scan), "pallas" (fused VMEM kernel), or "auto" (each env
-    # picks the backend measured faster for its scheme/size — see the
-    # crossover sweep in docs/PERFORMANCE.md)
-    backend: str = "xla"
+    # "xla" (lax.scan), "pallas" (fused VMEM kernel), or "auto" (default:
+    # each env picks the backend measured faster for its scheme/size — see
+    # the crossover sweep in docs/PERFORMANCE.md)
+    backend: str = "auto"
     scan_unroll: int = 8
     pallas_tile_b: Optional[int] = None  # None = size-adaptive (ops/pallas1d)
     # Divergence masking (SURVEY §5 failure detection): a non-finite state

@@ -23,6 +23,15 @@ TransportConfig = Boundary1DConfig
 
 
 class TransportEnv(Boundary1DEnv):
+    def _pallas_auto(self) -> bool:
+        # crossover sweep (docs/PERFORMANCE.md): XLA's VMEM-resident scan wins
+        # at nx=128 (986M vs 587M sub-steps/s), Pallas from nx>=256 on
+        # (509 vs 485 at 256, widening as the XLA carry spills: 202 vs 157 at
+        # 1024, and XLA cliffs to 36M at 2048)
+        import jax
+
+        return self.state_dim >= 256 and jax.default_backend() != "cpu"
+
     def _advance(self, u_prev, beta, control):
         c = self.config
         dt, dx = c.dtype(c.dt), c.dtype(c.dx)

@@ -1,0 +1,78 @@
+"""Functional env wrappers: observation/action adapters for MLP agents.
+
+The reference relies on SB3 conventions (flattened Box observations,
+unsquashed Gaussian actions clipped by the env). These wrappers provide the
+same adaptations for the on-device trainers while staying pure-functional:
+each delegates ``init``/``step`` and inherits the generic masked
+``autoreset_step`` from :class:`~pdecontrolgym_tpu.core.base.FunctionalEnv`.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from pdecontrolgym_tpu.core.base import FunctionalEnv
+
+
+class FlatObsEnv(FunctionalEnv):
+    """Flattens multi-dimensional observations for MLP policies (the NS
+    ``(ny, nx, 2)`` frames — the reference's SB3 MlpPolicy does the same
+    flatten internally)."""
+
+    def __init__(self, env):
+        self.env = env
+        self.action_dim = env.action_dim
+
+    def init(self, key):
+        state, obs = self.env.init(key)
+        return state, obs.reshape(-1)
+
+    def step(self, state, action, key=None):
+        state, out = self.env.step(state, action, key)
+        return state, out.replace(obs=out.obs.reshape(-1))
+
+
+class TanhBoxActionEnv(FunctionalEnv):
+    """Maps unbounded policy actions into a Box via tanh:
+    ``a_env = low + (tanh(a) + 1)/2 · (high − low)``.
+
+    Needed where the env's action box is far from the policy's O(1) output
+    scale (the traffic flux box ``[0.8·q*, 1.2·q*]`` around q*≈1.44,
+    ``traffic_arz_env.py:90-100``) — raw clipping there flatlines the
+    gradient signal for most of the Gaussian's mass.
+    """
+
+    def __init__(self, env, low=None, high=None):
+        self.env = env
+        self.action_dim = env.action_dim
+        self.low = float(env.action_low if low is None else low)
+        self.high = float(env.action_high if high is None else high)
+
+    def _map(self, a):
+        return self.low + 0.5 * (jnp.tanh(a) + 1.0) * (self.high - self.low)
+
+    def init(self, key):
+        return self.env.init(key)
+
+    def step(self, state, action, key=None):
+        return self.env.step(state, self._map(action), key)
+
+
+class TransformObsEnv(FunctionalEnv):
+    """Applies a pure function to observations (e.g. evaluating a policy
+    trained on the traffic ``outlet-train`` normalized deviations inside the
+    raw-observation ``outlet`` mode, mirroring the tutorial's
+    ``RLController`` normalization, ``Trafficarz1d_tutorial.rst:279-296``)."""
+
+    def __init__(self, env, fn):
+        self.env = env
+        self.action_dim = env.action_dim
+        self.fn = fn
+
+    def init(self, key):
+        state, obs = self.env.init(key)
+        return state, self.fn(obs)
+
+    def step(self, state, action, key=None):
+        state, out = self.env.step(state, action, key)
+        return state, out.replace(obs=self.fn(out.obs))

@@ -68,9 +68,11 @@ def make_interval_fn(
         norm_positions = tuple(range(S - Wn, S))
     if tile_b is None:
         # keep ~6 live (tile_b, state_dim) f32 buffers within a few MB of
-        # VMEM; 256 measured best at nx=256 (and compiles 5x faster than 512)
+        # VMEM; 256 measured best at nx=256 (and compiles 5x faster than 512).
+        # Floor 128: the norms output block is (Wp, tile_b) with tile_b on
+        # the LANE dim, and Mosaic requires lane blocks divisible by 128.
         fit = max(1, (1 << 17) // max(state_dim, 1))
-        tile_b = max(8, min(256, 1 << (fit.bit_length() - 1)))
+        tile_b = max(128, min(256, 1 << (fit.bit_length() - 1)))
     make_aux = getattr(update_fn, "make_aux", lambda shape: None)
     boundary_const = bool(getattr(update_fn, "boundary_const", False))
 

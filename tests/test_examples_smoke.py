@@ -69,3 +69,40 @@ def test_bench_scaling_smoke(capsys):
     assert rows[0]["mesh_size"] == 1 and rows[1]["mesh_size"] == 2
     assert rows[0]["efficiency"] == 1.0
     assert rows[1]["value"] > 0
+
+
+def test_eval_compare_ns_smoke(capsys):
+    """NS quality-matrix script: trains tiny PPO+SAC on the tracking task and
+    prints the comparison table (constant-lid must beat zero)."""
+    _run("examples/eval_compare_ns.py",
+         ["--episodes", "4", "--ppo-iters", "2", "--sac-iters", "2",
+          "--eval-every", "1"])
+    out = capsys.readouterr().out
+    assert "constant-lid" in out and "ppo" in out and "sac" in out
+
+    def row(name):
+        line = [l for l in out.splitlines() if l.strip().startswith(name)][0]
+        return float(line.split("|")[1])
+
+    assert row("constant-lid") > row("zero")
+
+
+def test_eval_compare_traffic_smoke(capsys):
+    """Traffic comparison: backstepping row always present; tiny PPO runs."""
+    _run("examples/eval_compare_traffic.py",
+         ["--ppo-iters", "2", "--eval-every", "1"])
+    out = capsys.readouterr().out
+    assert "backstepping" in out and "ppo" in out
+    bck = [l for l in out.splitlines() if l.strip().startswith("backstepping")][0]
+    total, steps = float(bck.split("|")[1]), int(bck.split("|")[3])
+    assert -400.0 < total < 0.0  # cumulative tracking penalty over 960 steps
+    assert 0 < steps <= 960
+
+
+def test_eval_compare_rd_sac_smoke(capsys):
+    """RD comparison script with SAC path enabled (tiny budget)."""
+    _run("examples/eval_compare_reaction_diffusion.py",
+         ["--episodes", "4", "--ppo-iters", "0", "--sac-iters", "2",
+          "--eval-every", "1"])
+    out = capsys.readouterr().out
+    assert "backstepping" in out and "sac" in out
