@@ -60,9 +60,9 @@ def main():
     from pdecontrolgym_tpu.parallel.rollout import rollout
 
     jobs = []
-    for nx in args.transport_nx.split(","):
+    for nx in filter(None, args.transport_nx.split(",")):
         jobs.append(("transport", int(nx), _mk_transport))
-    for nx in args.burgers_nx.split(","):
+    for nx in filter(None, args.burgers_nx.split(",")):
         jobs.append(("burgers", int(nx), _mk_burgers))
 
     for name, nx, mk in jobs:

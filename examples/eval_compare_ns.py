@@ -53,6 +53,8 @@ def main():
     ap.add_argument("--ppo-iters", type=int, default=60)
     ap.add_argument("--sac-iters", type=int, default=150)
     ap.add_argument("--eval-every", type=int, default=10)
+    ap.add_argument("--save-params", default=None,
+                    help="directory for ns_ppo.msgpack / ns_sac.msgpack")
     args = ap.parse_args()
 
     env = build_env()
@@ -92,6 +94,10 @@ def main():
         results.update(compare_controllers(
             env, {"ppo": trainer.policy(runner.params)},
             num_episodes=args.episodes, max_steps=200))
+        if args.save_params:
+            from pdecontrolgym_tpu.utils import save_params
+
+            save_params(f"{args.save_params}/ns_ppo.msgpack", runner.params)
 
     if args.sac_iters > 0:
         trainer = SACTrainer(env, SACConfig(
@@ -111,6 +117,10 @@ def main():
         results.update(compare_controllers(
             env, {"sac": trainer.policy(runner.actor_params)},
             num_episodes=args.episodes, max_steps=200))
+        if args.save_params:
+            from pdecontrolgym_tpu.utils import save_params
+
+            save_params(f"{args.save_params}/ns_sac.msgpack", runner.actor_params)
 
     print(f"\n{'controller':>14} | {'mean return':>12} | {'std':>8}")
     for name, r in sorted(results.items(), key=lambda kv: -kv[1]["mean_return"]):

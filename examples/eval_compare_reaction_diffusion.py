@@ -39,6 +39,8 @@ def main():
     ap.add_argument("--ppo-iters", type=int, default=400)
     ap.add_argument("--sac-iters", type=int, default=300)
     ap.add_argument("--eval-every", type=int, default=25)
+    ap.add_argument("--save-params", default=None,
+                    help="directory for rd_ppo.msgpack / rd_sac.msgpack")
     args = ap.parse_args()
 
     cfg = ReactionDiffusionConfig(
@@ -91,6 +93,10 @@ def main():
             env_rl, {"ppo": trainer.policy(runner.params)},
             num_episodes=args.episodes, max_steps=1000,
         ))
+        if args.save_params:
+            from pdecontrolgym_tpu.utils import save_params
+
+            save_params(f"{args.save_params}/rd_ppo.msgpack", runner.params)
 
     if args.sac_iters > 0:
         trainer = SACTrainer(
@@ -106,6 +112,10 @@ def main():
             env_rl, {"sac": trainer.policy(runner.actor_params)},
             num_episodes=args.episodes, max_steps=1000,
         ))
+        if args.save_params:
+            from pdecontrolgym_tpu.utils import save_params
+
+            save_params(f"{args.save_params}/rd_sac.msgpack", runner.actor_params)
 
     print(f"\n{'controller':>14} | {'mean return':>12} | {'std':>8}")
     for name, r in sorted(results.items(), key=lambda kv: -kv[1]["mean_return"]):

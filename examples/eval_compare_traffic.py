@@ -83,6 +83,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ppo-iters", type=int, default=300)
     ap.add_argument("--eval-every", type=int, default=20)
+    ap.add_argument("--save-params", default=None,
+                    help="directory for traffic_ppo.msgpack")
     args = ap.parse_args()
 
     cfg_eval = TrafficARZConfig(simulation_type="outlet")
@@ -126,6 +128,10 @@ def main():
         )
         pol = trainer.policy(runner.params)
         rows["ppo"] = episode_metrics(env_pol, lambda o: pol(o[None])[0])
+        if args.save_params:
+            from pdecontrolgym_tpu.utils import save_params
+
+            save_params(f"{args.save_params}/traffic_ppo.msgpack", runner.params)
 
     print(f"\n{'controller':>14} | {'total reward':>12} | {'final reward':>12} | {'steps':>6}")
     for name, (total, last, steps, obs) in rows.items():

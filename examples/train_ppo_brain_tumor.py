@@ -40,6 +40,8 @@ class DoseActionTherapyEnv(TherapyEnv):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iterations", type=int, default=150)
+    ap.add_argument("--save-params", default=None,
+                    help="directory for brain_tumor_ppo.msgpack")
     args = ap.parse_args()
 
     cfg = BrainTumorConfig(total_dosage=61.2)
@@ -75,6 +77,10 @@ def main():
         done = bool(out.terminated) or bool(out.truncated)
     print(f"learned schedule: survival {int(state.simulation_days)} days "
           f"({int(state.simulation_days) - tb:+d} vs baseline), return {total:.1f}")
+    if args.save_params:
+        from pdecontrolgym_tpu.utils import save_params
+
+        save_params(f"{args.save_params}/brain_tumor_ppo.msgpack", runner.params)
 
 
 if __name__ == "__main__":

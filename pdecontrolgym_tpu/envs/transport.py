@@ -27,10 +27,11 @@ class TransportEnv(Boundary1DEnv):
         # crossover sweep (docs/PERFORMANCE.md): XLA's VMEM-resident scan wins
         # at nx=128 (986M vs 587M sub-steps/s), Pallas from nx>=256 on
         # (509 vs 485 at 256, widening as the XLA carry spills: 202 vs 157 at
-        # 1024, and XLA cliffs to 36M at 2048)
+        # 1024, 108 vs 36 at 2048). Above 2048 the minimum 128-row tile no
+        # longer fits VMEM (Mosaic scoped-stack OOM at nx=4096) -> xla.
         import jax
 
-        return self.state_dim >= 256 and jax.default_backend() != "cpu"
+        return 256 <= self.state_dim <= 2048 and jax.default_backend() != "cpu"
 
     def _advance(self, u_prev, beta, control):
         c = self.config

@@ -1,4 +1,9 @@
-from pdecontrolgym_tpu.utils.checkpointing import restore, save
+from pdecontrolgym_tpu.utils.checkpointing import (
+    load_params,
+    restore,
+    save,
+    save_params,
+)
 from pdecontrolgym_tpu.utils.debug import cfl_report, checked_step, checked_step_batch
 from pdecontrolgym_tpu.utils.metrics import MetricsLogger
 from pdecontrolgym_tpu.utils.profiling import steps_per_second, time_device_fn, trace
@@ -8,8 +13,10 @@ __all__ = [
     "cfl_report",
     "checked_step",
     "checked_step_batch",
+    "load_params",
     "restore",
     "save",
+    "save_params",
     "steps_per_second",
     "time_device_fn",
     "trace",

@@ -30,3 +30,23 @@ def restore(path: str, template: Any) -> Any:
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
     return ckptr.restore(path, jax.device_get(template))
+
+
+def save_params(path: str, params: Any) -> None:
+    """Save a (small) parameter pytree as a single msgpack file — the
+    policy-only artifact the walkthrough notebooks restore (full training
+    state goes through :func:`save`; a SAC runner's replay buffer is far too
+    large to commit)."""
+    from flax import serialization
+
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(jax.device_get(params)))
+
+
+def load_params(path: str, template: Any) -> Any:
+    """Restore a pytree saved by :func:`save_params`. ``template`` supplies
+    structure/shapes (e.g. ``trainer.init(key).params``)."""
+    from flax import serialization
+
+    with open(path, "rb") as f:
+        return serialization.from_bytes(jax.device_get(template), f.read())
