@@ -5,10 +5,15 @@
 This env has no counterpart in the reference package — it is required by the
 TPU benchmark suite (BASELINE.json config 2: "1D Burgers, Dirichlet boundary
 control, nx=256") — so the scheme is chosen for robustness rather than parity:
-a first-order finite-volume update with the Rusanov (local Lax-Friedrichs)
-flux, which handles shock formation gracefully, plus optional explicit viscous
-diffusion. The env plugs into the same Boundary1DEnv machinery (control
-zero-order hold, norm ring, TunedReward compatibility, sensing variants).
+a first-order finite-volume update with, by default, the Godunov flux — the
+EXACT Riemann solver for the convex Burgers flux, which for f(u)=u²/2 reduces
+to the closed form ``F = max(f(max(ul,0)), f(min(ur,0)))`` (LeVeque, FVM for
+Hyperbolic Problems §12.2). It is both less dissipative than the Rusanov
+(local Lax-Friedrichs) flux and ~25% fewer vector ops on the VPU hot path
+(no |u| / face-speed max chain). ``flux="rusanov"`` keeps the round-1 scheme.
+Optional explicit viscous diffusion is folded into the face flux either way.
+The env plugs into the same Boundary1DEnv machinery (control zero-order hold,
+norm ring, TunedReward compatibility, sensing variants).
 
 Left boundary: zero-gradient outflow (``u[0] = u[1]``). Right boundary:
 Dirichlet (the action) or Neumann (action·dx + u[-2]).
@@ -32,7 +37,8 @@ class BurgersConfig(Boundary1DConfig):
     dx: float = 1.0 / 256.0
     control_sample_rate: float = 0.01
     viscosity: float = 1e-3
-    scan_unroll: int = 4  # measured best for the heavier Rusanov body
+    flux: str = "godunov"  # "godunov" (exact Riemann, default) | "rusanov"
+    scan_unroll: int = 4  # measured best for the heavier flux-form body
 
 
 class BurgersEnv(Boundary1DEnv):
@@ -48,16 +54,23 @@ class BurgersEnv(Boundary1DEnv):
         nu = c.dtype(c.viscosity)
         boundary = self._control_fn(control, u_prev[-2])
 
-        # Rusanov flux at the nx-1 interior faces, with the explicit viscous
+        # Face flux at the nx-1 interior faces, with the explicit viscous
         # term folded into the same face flux (F -= ν·(u_r−u_l)/dx): the
         # flux difference then reproduces ν·dt/dx²·(u_{i-1}−2u_i+u_{i+1})
         # exactly, one fewer stencil pass on the hot sub-step path.
         ul, ur = u_prev[:-1], u_prev[1:]
-        d = ur - ul
-        coef = 0.5 * jnp.maximum(jnp.abs(ul), jnp.abs(ur)) + (
-            nu / dx if c.viscosity else 0.0
-        )
-        flux = 0.25 * (ul * ul + ur * ur) - coef * d
+        if c.flux == "godunov":
+            # exact Riemann flux for f(u)=u²/2: covers both shock (max of
+            # endpoint fluxes when the fan converges) and transonic
+            # rarefaction (F=0 when ul<0<ur) in one branch-free form
+            a = jnp.maximum(ul, 0.0)
+            b = jnp.minimum(ur, 0.0)
+            flux = 0.5 * jnp.maximum(a * a, b * b)
+        else:  # rusanov
+            coef = 0.5 * jnp.maximum(jnp.abs(ul), jnp.abs(ur))
+            flux = 0.25 * (ul * ul + ur * ur) - coef * (ur - ul)
+        if c.viscosity:
+            flux = flux - (nu / dx) * (ur - ul)
 
         interior = u_prev[1:-1] - dt / dx * (flux[1:] - flux[:-1])
         left = interior[0]  # zero-gradient outflow
@@ -72,7 +85,8 @@ class BurgersEnv(Boundary1DEnv):
         neumann = is_neumann(c.control_type)
         if neumann and c.normalize:
             return None
-        update = burgers_update(c.dt, c.dx, self.state_dim, c.viscosity, neumann)
+        update = burgers_update(c.dt, c.dx, self.state_dim, c.viscosity,
+                                neumann, c.flux)
         if neumann:
             ctrl = lambda control: control
         else:

@@ -48,6 +48,7 @@ def make_interval_fn(
     window: int,
     norm_positions: tuple = None,
     tile_b: int = None,
+    unroll: int = 1,
     interpret: bool = False,
 ):
     """Build ``fn(u, beta, ctrl, t0) -> (u_out, norms_win, bsum_add, t_out)``.
@@ -117,15 +118,23 @@ def make_interval_fn(
 
             return body
 
+        def seg(lo, hi, body, carry):
+            # Mosaic fori_loop supports only unroll=1 or full unroll; "full"
+            # inlines the whole segment (trip counts are static here), which
+            # removes the per-sub-step loop overhead that dominates this
+            # kernel (a trivial body times at ~2/3 the cost of the real one).
+            k = (hi - lo) if unroll == "full" else unroll
+            return jax.lax.fori_loop(lo, hi, body, carry, unroll=k)
+
         def run(body_factory, carry):
             start = 0
             for j in norm_positions:  # static segment decomposition
                 if j > start:
-                    carry = jax.lax.fori_loop(start, j, body_factory(False), carry)
+                    carry = seg(start, j, body_factory(False), carry)
                 carry = body_factory(True)(j, carry)
                 start = j + 1
             if S > start:
-                carry = jax.lax.fori_loop(start, S, body_factory(False), carry)
+                carry = seg(start, S, body_factory(False), carry)
             return carry
 
         def fast(carry):
@@ -235,12 +244,17 @@ def reaction_diffusion_update(dt: float, dx: float, state_dim: int,
 
 
 def burgers_update(dt: float, dx: float, nx: int, viscosity: float,
-                   neumann: bool):
-    """Rusanov-flux row update (envs/burgers.py): zero-gradient left outflow,
+                   neumann: bool, flux: str = "godunov"):
+    """Flux-form row update (envs/burgers.py): zero-gradient left outflow,
     controlled right boundary. Viscous term folded into the face flux (see
-    envs/burgers.py:_advance)."""
-    nu_face = viscosity / dx if viscosity else 0.0
+    envs/burgers.py:_advance). All scheme constants (dt/dx, the 0.5/0.25
+    flux factors, ν/dx) are pre-folded into the face flux so the hot body
+    spends no vector issues on scaling: ``u_new = u - (F'_r - F'_l)`` with
+    ``F' = (dt/dx)·F``. The default Godunov flux (exact Riemann for u²/2,
+    ``F = max(f(max(ul,0)), f(min(ur,0)))``) is ~4 vector ops cheaper per
+    sub-step than Rusanov — no |u|/face-speed chain."""
     dtdx = dt / dx
+    nu_scaled = dtdx * (viscosity / dx) if viscosity else 0.0
 
     def make_aux(shape):
         col = _col_iota(shape)
@@ -248,12 +262,18 @@ def burgers_update(dt: float, dx: float, nx: int, viscosity: float,
 
     def update(u, beta, ctrl, aux):
         up = _roll(u, -1, 1)
-        # face flux to the right of cell i (valid for i < nx-1)
-        d = up - u
-        coef = 0.5 * jnp.maximum(jnp.abs(u), jnp.abs(up)) + nu_face
-        flux_r = 0.25 * (u * u + up * up) - coef * d
+        # dtdx-scaled face flux to the right of cell i (valid for i < nx-1)
+        if flux == "godunov":
+            a = jnp.maximum(u, 0.0)
+            b = jnp.minimum(up, 0.0)
+            flux_r = (0.5 * dtdx) * jnp.maximum(a * a, b * b)
+        else:  # rusanov
+            coef = (0.5 * dtdx) * jnp.maximum(jnp.abs(u), jnp.abs(up))
+            flux_r = (0.25 * dtdx) * (u * u + up * up) - coef * (up - u)
+        if nu_scaled:
+            flux_r = flux_r - nu_scaled * (up - u)
         flux_l = _roll(flux_r, 1, 1)
-        interior = u - dtdx * (flux_r - flux_l)
+        interior = u - (flux_r - flux_l)
         if neumann:
             boundary = ctrl * dx + u[:, nx - 2 : nx - 1]
         else:

@@ -48,6 +48,33 @@ def test_dirichlet_boundary_control_sets_edge():
     assert np.abs(np.asarray(state.u)[-10:]).max() > 0
 
 
+def test_godunov_flux_exact_riemann_properties():
+    """The default Godunov flux is the exact Riemann solver for f(u)=u²/2:
+    (a) for an all-positive state it reduces to pure upwind F=f(u_left);
+    (b) at a transonic face (ul<0<ur) the flux is exactly 0 (sonic point
+    inside the rarefaction fan) — Rusanov gives -0.5 there instead."""
+    env = _env(viscosity=0.0)
+    dt, dx = env.config.dt, env.config.dx
+    dtdx = dt / dx
+
+    # (a) positive field → upwind
+    rng = np.random.default_rng(0)
+    u = rng.uniform(0.2, 1.5, 256).astype(np.float32)
+    u_new, _ = env._advance(jnp.asarray(u), jnp.zeros(256, jnp.float32),
+                            jnp.float32(u[-1]))
+    i = np.arange(2, 254)
+    expect = u[i] - dtdx * 0.5 * (u[i] ** 2 - u[i - 1] ** 2)
+    np.testing.assert_allclose(np.asarray(u_new)[i], expect, rtol=2e-6)
+
+    # (b) transonic jump -1|+1 at face k: F(jump)=0, outer faces F=0.5, so
+    # the rarefaction opens symmetrically by 0.5*dtdx on each side
+    u = np.where(np.arange(256) < 128, -1.0, 1.0).astype(np.float32)
+    u_new, _ = env._advance(jnp.asarray(u), jnp.zeros(256, jnp.float32),
+                            jnp.float32(1.0))
+    assert abs(float(u_new[127]) - (-1.0 + 0.5 * dtdx)) < 1e-6
+    assert abs(float(u_new[128]) - (1.0 - 0.5 * dtdx)) < 1e-6
+
+
 def test_gym_adapter_burgers():
     import gymnasium as gym
     import pdecontrolgym_tpu  # noqa: F401
