@@ -39,6 +39,7 @@ def main():
     ap.add_argument("--ppo-iters", type=int, default=400)
     ap.add_argument("--sac-iters", type=int, default=300)
     ap.add_argument("--eval-every", type=int, default=25)
+    ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--save-params", default=None,
                     help="directory for rd_ppo.msgpack / rd_sac.msgpack")
     args = ap.parse_args()
@@ -86,7 +87,7 @@ def main():
                       num_minibatches=16, ent_coef=1e-3,
                       reward_scale=0.02, obs_clip=50.0),
         )
-        runner = trainer.train(jax.random.key(0), args.ppo_iters,
+        runner = trainer.train(jax.random.key(args.seed), args.ppo_iters,
                                eval_fn=eval_fn_for(trainer.policy),
                                eval_every=args.eval_every, callback=log("ppo"))
         results.update(compare_controllers(
@@ -105,7 +106,7 @@ def main():
                       steps_per_iter=8, updates_per_iter=32, gamma=0.9995,
                       init_alpha=0.05, reward_scale=0.1),
         )
-        runner = trainer.train(jax.random.key(1), args.sac_iters,
+        runner = trainer.train(jax.random.key(args.seed + 1), args.sac_iters,
                                eval_fn=eval_fn_for(trainer.policy),
                                eval_every=args.eval_every, callback=log("sac"))
         results.update(compare_controllers(

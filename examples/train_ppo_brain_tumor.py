@@ -40,6 +40,8 @@ class DoseActionTherapyEnv(TherapyEnv):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iterations", type=int, default=150)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--eval-every", type=int, default=10)
     ap.add_argument("--save-params", default=None,
                     help="directory for brain_tumor_ppo.msgpack")
     args = ap.parse_args()
@@ -55,14 +57,26 @@ def main():
         PPOConfig(num_envs=64, num_steps=40, num_epochs=4, num_minibatches=4,
                   gamma=0.999, reward_scale=0.05, ent_coef=1e-3),
     )
-    runner = trainer.init(jax.random.key(0))
-    step = trainer.make_train_step()
-    for it in range(args.iterations):
-        runner, m = step(runner)
-        if it % 10 == 0 or it == args.iterations - 1:
-            m = jax.device_get(m)
-            print(f"iter {it:4d}  mean_step_reward {m['mean_reward']:+.4f}",
-                  flush=True)
+
+    # eval-based checkpoint selection (the schedule's return = survival
+    # extension minus toxicity, the notebook table's metric up to the
+    # toxicity term) — the policy peaks and then over-trains like RD PPO
+    from pdecontrolgym_tpu.eval import compare_controllers
+
+    def eval_fn(params):
+        r = compare_controllers(env, {"c": trainer.policy(params)},
+                                num_episodes=16, max_steps=128,
+                                key=jax.random.key(7))
+        return r["c"]["mean_return"]
+
+    runner = trainer.train(
+        jax.random.key(args.seed), args.iterations,
+        eval_fn=eval_fn, eval_every=args.eval_every,
+        callback=lambda it, m: print(
+            f"iter {it:4d}  mean_step_reward {m['mean_reward']:+.4f}"
+            + (f"  eval {m['eval']:+.1f} (best {m['best_eval']:+.1f})"
+               if "eval" in m else ""), flush=True),
+    )
 
     # evaluate the learned schedule on one episode
     policy = trainer.policy(runner.params)
