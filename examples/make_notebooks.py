@@ -90,8 +90,9 @@ print(f"episode reward: {float(rews.sum()):.2f}   final L2: "
 
 fig = plt.figure(figsize=(7, 4))
 ax = fig.add_subplot(projection="3d")
-tt, xx = np.meshgrid(np.linspace(0, T, 101), spatial, indexing="ij")
-ax.plot_surface(xx, tt, np.asarray(rows)[::10], cmap="viridis", linewidth=0)
+sub = np.asarray(rows)[::10]
+tt, xx = np.meshgrid(np.linspace(0, T, sub.shape[0]), spatial, indexing="ij")
+ax.plot_surface(xx, tt, sub, cmap="viridis", linewidth=0)
 ax.set_xlabel("x"); ax.set_ylabel("t"); ax.set_zlabel("u(x,t)")
 plt.tight_layout(); plt.savefig("parabolic_surface.png", dpi=80); plt.show()
 """),
@@ -266,6 +267,12 @@ for name, (e, t) in rows.items():
 The learned schedule beats both fixed protocols on survival extension,
 reproducing the reference's headline claim
 (`docs/source/environments/braintumor-1d.rst:204-207`).
+
+The two RL rows coincide because the learned schedule spaces its doses
+out (its longest consecutive-treatment streak is 2 days), so the forced
+5-day weekend break never triggers — the weekends machinery itself is
+parity-tested against the reference in
+`tests/test_brain_tumor.py::test_weekend_breaks_match_reference`.
 """),
 ]
 

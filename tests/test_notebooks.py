@@ -1,0 +1,93 @@
+"""Committed walkthrough notebooks carry real executed outputs.
+
+The reference's committed cell outputs are its de-facto golden values
+(SURVEY §4); ours are produced by ``examples/make_notebooks.py`` which
+executes every cell with nbclient before writing. These tests pin that
+property — every committed .ipynb has outputs, none of them is an error,
+and the headline golden numbers are present in the printed tables.
+"""
+
+import json
+import os
+import re
+
+import pytest
+
+EXAMPLES = os.path.join(os.path.dirname(__file__), os.pardir, "examples")
+
+NOTEBOOKS = [
+    "TransportPDEExample.ipynb",
+    "ParabolicPDEExample.ipynb",
+    "BrainTumor1DExample.ipynb",
+    "TrafficPDEExample.ipynb",
+]
+
+
+def _load(name):
+    path = os.path.join(EXAMPLES, name)
+    if not os.path.exists(path):
+        pytest.fail(f"missing committed notebook {name}")
+    with open(path) as f:
+        return json.load(f)
+
+
+def _stream_text(nb):
+    chunks = []
+    for cell in nb["cells"]:
+        for out in cell.get("outputs", []):
+            if out.get("output_type") == "error":
+                pytest.fail(
+                    f"error output in committed notebook: "
+                    f"{out.get('ename')}: {out.get('evalue')}"
+                )
+            if out.get("output_type") == "stream":
+                chunks.append("".join(out.get("text", [])))
+    return "\n".join(chunks)
+
+
+@pytest.mark.parametrize("name", NOTEBOOKS)
+def test_notebook_is_executed_and_clean(name):
+    nb = _load(name)
+    code_cells = [c for c in nb["cells"] if c["cell_type"] == "code"]
+    assert code_cells, "notebook has no code cells"
+    assert any(c.get("outputs") for c in code_cells), "no executed outputs"
+    assert all(c.get("execution_count") for c in code_cells), (
+        "unexecuted code cell present"
+    )
+    _stream_text(nb)  # fails on any error output
+
+
+def _table_value(text, row, col=1):
+    """Value in printed `name | a | b` tables: col-th number on `row`'s line."""
+    for line in text.splitlines():
+        if row in line:
+            cells = line.split("|")[1:]  # numbers live after the label column
+            nums = re.findall(r"[-+]?\d+\.\d+", "|".join(cells))
+            if len(nums) >= col:
+                return float(nums[col - 1])
+    pytest.fail(f"row {row!r} not found in notebook stream output")
+
+
+def test_parabolic_golden_values():
+    text = _stream_text(_load("ParabolicPDEExample.ipynb"))
+    # 50-episode means vs the reference's published table (±2% band: the
+    # episode ICs are random but 50-episode means are tight)
+    assert abs(_table_value(text, "backstepping") - 298.98) < 6.0
+    assert _table_value(text, "ppo") > 285.0
+    assert _table_value(text, "sac") > 233.11  # beats published SAC outright
+
+
+def test_brain_tumor_golden_values():
+    text = _stream_text(_load("BrainTumor1DExample.ipynb"))
+    paper = _table_value(text, "paper 1.8 Gy/day |")
+    rl = _table_value(text, "RL (PPO) |")
+    assert paper > 50.0  # fixed protocol extends survival
+    assert rl > paper + 15.0  # reference claims RL beats protocols by >20 days
+
+
+def test_traffic_golden_values():
+    text = _stream_text(_load("TrafficPDEExample.ipynb"))
+    bcks = _table_value(text, "backstepping |")
+    ppo = _table_value(text, "ppo |")
+    assert bcks < 0.0 and ppo < 0.0  # tracking penalties
+    assert ppo > bcks  # learned policy beats the analytic outlet law
