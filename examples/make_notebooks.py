@@ -7,7 +7,7 @@ reference's committed cell outputs are its de-facto golden values — SURVEY §4
 RL cells restore policy-only msgpack checkpoints from examples/checkpoints/
 (produced by the eval_compare_* / train_ppo_brain_tumor --save-params runs).
 
-    python examples/make_notebooks.py [--only parabolic|brain_tumor|traffic]
+    python examples/make_notebooks.py [--only transport|parabolic|brain_tumor|traffic]
 """
 
 import argparse
@@ -32,6 +32,83 @@ def build(cells):
     return nb
 
 
+TRANSPORT = [
+    ("md", """
+# 1D Transport PDE: boundary control walkthrough
+
+TPU-native counterpart of the reference's `HyperbolicPDEExample.ipynb`: the
+same transport environment (T=5, dt=1e-4, dx=1e-2, control every 0.1s),
+driven by the PDE-backstepping controller — first through the Gymnasium
+adapter, then as a batch of vmapped envs in one jitted program.
+"""),
+    ("code", """
+import numpy as np
+import jax, jax.numpy as jnp
+import gymnasium as gym
+import pdecontrolgym_tpu
+from pdecontrolgym_tpu.agents.backstepping import transport_kernel, transport_control
+from pdecontrolgym_tpu.rewards import TunedReward1D
+
+T, dt, dx, X = 5.0, 1e-4, 1e-2, 1.0
+nx = int(round(X / dx))
+
+def beta_fn(n):
+    x = np.linspace(0, 1, n)
+    return (5 * np.cos(7.35 * np.arccos(x))).astype(np.float32)
+
+env = gym.make(
+    "PDEControlGym-TransportPDE1D",
+    T=T, dt=dt, X=X, dx=dx,
+    reward_class=TunedReward1D(int(round(T / dt)), -1e3, 3e2),
+    normalize=False, sensing_loc="full", control_type="Dirchilet",
+    sensing_type=None, sensing_noise_func=lambda s: s,
+    limit_pde_state_size=True, max_state_value=1e10, max_control_value=20,
+    reset_init_condition_func=lambda n: np.full(n, 5.0, np.float32),
+    reset_recirculation_func=beta_fn, control_sample_rate=0.1,
+)
+"""),
+    ("code", """
+# backstepping gain (Volterra kernel) on the shifted grid, as in the reference example
+spatial = np.linspace(dx, X, nx)
+kernel = transport_kernel(
+    jnp.asarray(5 * np.cos(7.35 * np.arccos(spatial)), jnp.float32), dx)
+
+obs, _ = env.reset()
+total, term, trunc = 0.0, False, False
+while not (term or trunc):
+    action = float(transport_control(kernel, jnp.asarray(obs), dx))
+    obs, rew, term, trunc, _ = env.step(np.float32(action))
+    total += rew
+print(f"total reward {total:.2f}, final L2 {np.linalg.norm(obs):.4f}")
+"""),
+    ("code", """
+# the full episode history lives in env.u like the reference (sub-step rows)
+%matplotlib inline
+import matplotlib.pyplot as plt
+from pdecontrolgym_tpu.utils.plotting import spacetime_1d
+
+spacetime_1d(env.unwrapped.u[::200], X=X, T=T)
+plt.show()
+print("state decays from u(x,0)=5 to ~0 under boundary control")
+"""),
+    ("code", """
+# the TPU path: 256 envs with random ICs, one jitted rollout
+from pdecontrolgym_tpu.envs import Boundary1DConfig, TransportEnv
+from pdecontrolgym_tpu.parallel.rollout import rollout
+
+cfg = Boundary1DConfig(T=T, dt=dt, X=X, dx=dx, control_sample_rate=0.1,
+                       limit_pde_state_size=True)
+fenv = TransportEnv(cfg, TunedReward1D(int(round(T / dt)), -1e3, 3e2))
+policy = lambda o, k: (o @ kernel) * dx
+(state, obs_b), outs = jax.jit(
+    lambda key: rollout(fenv, policy, 256, 50, key))(jax.random.key(0))
+returns = outs.reward.sum(0)
+print(f"mean return over 256 episodes: {float(returns.mean()):.2f} "
+      f"(published reference backstepping average: 243.06)")
+"""),
+]
+
+
 PARABOLIC = [
     ("md", """
 # 1D Reaction-Diffusion (Parabolic) PDE: boundary control walkthrough
@@ -43,10 +120,9 @@ over 50 random episodes, cells 14-16), and the deterministic fixed-IC table
 (cell 23): u0=1 → reward 299.82, u0=10 → 298.23.
 """),
     ("code", """
+%matplotlib inline
 import numpy as np
 import jax, jax.numpy as jnp
-import matplotlib
-matplotlib.use("Agg")
 import matplotlib.pyplot as plt
 
 from pdecontrolgym_tpu.agents.backstepping import parabolic_control, parabolic_kernel
@@ -88,13 +164,9 @@ rews, rows = run_episode(u0)
 print(f"episode reward: {float(rews.sum()):.2f}   final L2: "
       f"{float(jnp.linalg.norm(rows[-1])):.4f}")
 
-fig = plt.figure(figsize=(7, 4))
-ax = fig.add_subplot(projection="3d")
-sub = np.asarray(rows)[::10]
-tt, xx = np.meshgrid(np.linspace(0, T, sub.shape[0]), spatial, indexing="ij")
-ax.plot_surface(xx, tt, sub, cmap="viridis", linewidth=0)
-ax.set_xlabel("x"); ax.set_ylabel("t"); ax.set_zlabel("u(x,t)")
-plt.tight_layout(); plt.savefig("parabolic_surface.png", dpi=80); plt.show()
+from pdecontrolgym_tpu.utils.plotting import surface_1d
+surface_1d(np.asarray(rows)[::10], X=X, T=T)
+plt.tight_layout(); plt.show()
 """),
     ("code", """
 # 50-episode averages: backstepping vs zero (published backstepping: 298.98)
@@ -263,6 +335,32 @@ print(f"{'protocol':>28} | {'survival vs baseline':>20} | {'total reward':>12}")
 for name, (e, t) in rows.items():
     print(f"{name:>28} | {e:+20.1f} | {t:12.1f}")
 """),
+    ("code", """
+# tumor density profiles over one paper-protocol episode (reference plots the
+# c(x,t) evolution + the T1/T2 detection thresholds)
+%matplotlib inline
+import matplotlib.pyplot as plt
+
+state, obs = ther.init(jax.random.key(0), t_benchmark=t_benchmark)
+step = jax.jit(ther.step)
+profiles = {"therapy start": np.asarray(state.u)}
+done = False
+while not done:
+    state, out = step(state, jnp.asarray(1.8 / 61.2))
+    done = bool(out.terminated) or bool(out.truncated)
+    if int(state.stage) == 2 and "therapy end" not in profiles:
+        profiles["therapy end"] = np.asarray(state.u)
+profiles["death"] = np.asarray(state.u)
+
+x = np.linspace(0, cfg.X, cfg.nx)
+fig, ax = plt.subplots(figsize=(7, 3.2))
+for label, c in profiles.items():
+    ax.plot(x, c / cfg.k, label=label)
+for thresh in (cfg.t1_detection_threshold, cfg.t2_detection_threshold):
+    ax.axhline(thresh, ls=":", lw=0.8, color="gray")
+ax.set_xlabel("x [mm]"); ax.set_ylabel("c / K"); ax.legend()
+plt.tight_layout(); plt.show()
+"""),
     ("md", """
 The learned schedule beats both fixed protocols on survival extension,
 reproducing the reference's headline claim
@@ -288,10 +386,9 @@ the Aw–Rascle–Zhang traffic state (ρ, v) to the steady state (ρ*=0.12,
 v*=10) by controlling the outlet flux.
 """),
     ("code", """
+%matplotlib inline
 import numpy as np
 import jax, jax.numpy as jnp
-import matplotlib
-matplotlib.use("Agg")
 import matplotlib.pyplot as plt
 
 from pdecontrolgym_tpu.envs.traffic_arz import TrafficARZConfig, TrafficARZEnv
@@ -342,7 +439,7 @@ for ax, sl, label in ((axes[0], slice(0, M), "density rho"),
                    extent=[0, cfg.T, 0, cfg.X], cmap="RdYlGn_r")
     ax.set_xlabel("t [s]"); ax.set_ylabel("x [m]"); ax.set_title(label)
     fig.colorbar(im, ax=ax)
-plt.tight_layout(); plt.savefig("traffic_backstepping.png", dpi=80); plt.show()
+plt.tight_layout(); plt.show()
 """),
     ("md", """
 ## RL outlet control
@@ -389,10 +486,11 @@ print(f"{'ppo':>14} | {float(rew_rl.sum()):12.4f} | {float(rew_rl[-1]):12.5f}")
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", default=None,
-                    choices=["parabolic", "brain_tumor", "traffic"])
+                    choices=["transport", "parabolic", "brain_tumor", "traffic"])
     args = ap.parse_args()
 
     books = {
+        "transport": ("TransportPDEExample.ipynb", TRANSPORT),
         "parabolic": ("ParabolicPDEExample.ipynb", PARABOLIC),
         "brain_tumor": ("BrainTumor1DExample.ipynb", BRAIN_TUMOR),
         "traffic": ("TrafficPDEExample.ipynb", TRAFFIC),

@@ -39,6 +39,8 @@ def save_params(path: str, params: Any) -> None:
     large to commit)."""
     from flax import serialization
 
+    parent = os.path.dirname(os.path.abspath(path))
+    os.makedirs(parent, exist_ok=True)
     with open(path, "wb") as f:
         f.write(serialization.to_bytes(jax.device_get(params)))
 

@@ -68,6 +68,14 @@ def _table_value(text, row, col=1):
     pytest.fail(f"row {row!r} not found in notebook stream output")
 
 
+def test_transport_golden_values():
+    text = _stream_text(_load("TransportPDEExample.ipynb"))
+    m = re.search(r"mean return over 256 episodes: ([-+]?\d+\.\d+)", text)
+    assert m, "batched mean-return line missing"
+    # published reference backstepping average is 243.06 (HyperbolicPDEExample)
+    assert abs(float(m.group(1)) - 243.06) < 5.0
+
+
 def test_parabolic_golden_values():
     text = _stream_text(_load("ParabolicPDEExample.ipynb"))
     # 50-episode means vs the reference's published table (±2% band: the
