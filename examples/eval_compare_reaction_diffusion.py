@@ -39,6 +39,9 @@ def main():
     ap.add_argument("--ppo-iters", type=int, default=400)
     ap.add_argument("--sac-iters", type=int, default=300)
     ap.add_argument("--eval-every", type=int, default=25)
+    ap.add_argument("--eval-episodes", type=int, default=16)
+    ap.add_argument("--anneal", type=int, default=0,
+                    help=">0: linearly anneal PPO lr to 0 over this many iters")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--save-params", default=None,
                     help="directory for rd_ppo.msgpack / rd_sac.msgpack")
@@ -69,7 +72,8 @@ def main():
         def eval_fn(params):
             r = compare_controllers(
                 env_rl, {"c": policy_of_params(params)},
-                num_episodes=16, max_steps=1000, key=jax.random.key(7),
+                num_episodes=args.eval_episodes, max_steps=1000,
+                key=jax.random.key(7),
             )
             return r["c"]["mean_return"]
 
@@ -85,7 +89,8 @@ def main():
             env_rl,
             PPOConfig(num_envs=256, num_steps=250, gamma=0.9995,
                       num_minibatches=16, ent_coef=1e-3,
-                      reward_scale=0.02, obs_clip=50.0),
+                      reward_scale=0.02, obs_clip=50.0,
+                      anneal_lr_iters=args.anneal),
         )
         runner = trainer.train(jax.random.key(args.seed), args.ppo_iters,
                                eval_fn=eval_fn_for(trainer.policy),

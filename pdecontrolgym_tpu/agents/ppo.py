@@ -50,6 +50,11 @@ class PPOConfig:
     # drowning the policy gradient (SB3 users typically wrap VecNormalize)
     reward_scale: float = 1.0
     obs_clip: float = 0.0  # >0: clip observations to [-obs_clip, obs_clip]
+    # >0: linearly decay the learning rate to 0 over this many train
+    # iterations (counted in optimizer updates = epochs*minibatches per
+    # iteration) — late-training step-size noise is what keeps the policy
+    # oscillating around its peak instead of settling on it
+    anneal_lr_iters: int = 0
 
 
 @struct.dataclass
@@ -67,9 +72,15 @@ class PPOTrainer:
         self.cfg = config
         self.mesh = mesh
         self.net = ActorCritic(action_dim=env.action_dim, hidden=config.hidden)
+        lr = config.lr
+        if config.anneal_lr_iters > 0:
+            updates_per_iter = config.num_epochs * config.num_minibatches
+            lr = optax.linear_schedule(
+                config.lr, 0.0, config.anneal_lr_iters * updates_per_iter
+            )
         self.tx = optax.chain(
             optax.clip_by_global_norm(config.max_grad_norm),
-            optax.adam(config.lr, eps=1e-5),
+            optax.adam(lr, eps=1e-5),
         )
         if mesh is not None and config.num_envs % mesh.size != 0:
             raise ValueError(

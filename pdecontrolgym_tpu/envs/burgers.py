@@ -62,10 +62,12 @@ class BurgersEnv(Boundary1DEnv):
         if c.flux == "godunov":
             # exact Riemann flux for f(u)=u²/2: covers both shock (max of
             # endpoint fluxes when the fan converges) and transonic
-            # rarefaction (F=0 when ul<0<ur) in one branch-free form
-            a = jnp.maximum(ul, 0.0)
-            b = jnp.minimum(ur, 0.0)
-            flux = 0.5 * jnp.maximum(a * a, b * b)
+            # rarefaction (F=0 when ul<0<ur) in one branch-free form;
+            # max(f(max(ul,0)), f(min(ur,0))) = f(max(ul,-ur,0)) since f is
+            # convex and even — one fewer vector op, same algebra as the
+            # Pallas kernels (ops/pallas1d.py)
+            m = jnp.maximum(jnp.maximum(ul, -ur), 0.0)
+            flux = 0.5 * (m * m)
         else:  # rusanov
             coef = 0.5 * jnp.maximum(jnp.abs(ul), jnp.abs(ur))
             flux = 0.25 * (ul * ul + ur * ur) - coef * (ur - ul)
@@ -79,14 +81,24 @@ class BurgersEnv(Boundary1DEnv):
 
     def _pallas_spec(self):
         from pdecontrolgym_tpu.core.sensing import is_neumann
-        from pdecontrolgym_tpu.ops.pallas1d import burgers_update
+        from pdecontrolgym_tpu.ops.pallas1d import (
+            burgers_update,
+            burgers_update_t,
+        )
 
         c = self.config
         neumann = is_neumann(c.control_type)
         if neumann and c.normalize:
             return None
-        update = burgers_update(c.dt, c.dx, self.state_dim, c.viscosity,
-                                neumann, c.flux)
+        if self.state_dim % 8 == 0:
+            # transposed in-place kernel: sublane-offset stencil + 1-row
+            # boundary stores, 1.28x the lane skeleton at nx=256 (needs
+            # sublane-aligned state rows)
+            update = burgers_update_t(c.dt, c.dx, self.state_dim,
+                                      c.viscosity, neumann, c.flux)
+        else:
+            update = burgers_update(c.dt, c.dx, self.state_dim, c.viscosity,
+                                    neumann, c.flux)
         if neumann:
             ctrl = lambda control: control
         else:

@@ -184,6 +184,164 @@ def make_interval_fn(
     return fn
 
 
+def make_interval_fn_t(
+    update_fn: Callable,
+    *,
+    sample_rate: int,
+    nt: int,
+    state_dim: int,
+    window: int,
+    norm_positions: tuple = None,
+    tile_b: int = None,
+    interpret: bool = False,
+):
+    """Transposed-layout interval kernel: state tiles are ``(state_dim, tb)``
+    — the PDE axis on SUBLANES, envs on LANES — and the state lives in a
+    padded VMEM scratch mutated in place by ``update_fn``.
+
+    Why a second layout: in the lane layout the stencil neighbor reads are
+    full-width lane rotations and the boundary writes are full-width lane
+    selects. Here the neighbor read is an offset sublane slice of the scratch
+    (``us[1:nx+1]`` vs ``us[0:nx]``) and each boundary write is a 1-row store
+    — measured 1.28x the lane skeleton for the Burgers flux-form body
+    (min-of-5 timing, one process: 384M -> 493M sub-steps/s at 4096x256).
+
+    ``update_fn(us, beta_ref, ctrl, aux) -> boundary`` performs ONE sub-step
+    in place on ``us[0:state_dim, :]`` (rows state_dim..state_dim+7 are
+    zeroed padding so an offset-by-one slice stays in bounds) and returns the
+    ``(1, tb)`` boundary row. Same external contract as ``make_interval_fn``:
+    ``fn(u, beta, ctrl, t0) -> (u_out, norms_win, bsum_add, t_out)`` with
+    ``u`` in the usual ``(B, state_dim)`` layout (transposes at the interval
+    boundary are ~1% of interval cost).
+
+    Requires ``state_dim % 8 == 0`` on real TPUs (sublane block alignment);
+    callers gate on that and fall back to the lane kernel.
+    """
+    S = sample_rate
+    Wn = min(window, S)
+    Wp = -(-Wn // 8) * 8
+    if norm_positions is None:
+        norm_positions = tuple(range(S - Wn, S))
+    D = state_dim
+    NP = D + 8  # padded scratch rows so the +1 neighbor slice stays in bounds
+    if tile_b is None:
+        # 128 lanes measured best for the in-place scratch kernel at nx=256
+        # (641M vs 488M sub-steps/s at 256 lanes, min-of-5 in one process —
+        # narrower tiles pipeline better across the grid); lane blocks must
+        # be 128-aligned on real TPUs
+        tile_b = 128
+    make_aux = getattr(update_fn, "make_aux", lambda shape: None)
+    boundary_const = bool(getattr(update_fn, "boundary_const", False))
+
+    def kernel(u_ref, beta_ref, ctrl_ref, t0_ref, uo_ref, norms_ref, bsum_ref,
+               to_ref, us):
+        ctrl = ctrl_ref[:]  # (1, tb)
+        t0 = t0_ref[:]  # (1, tb) i32
+        us[0:D, :] = u_ref[:]
+        us[D:NP, :] = jnp.zeros((NP - D, us.shape[1]), u_ref.dtype)
+        aux = make_aux((D, us.shape[1]))
+
+        def store_norm(j):
+            u = us[0:D, :]
+            norms_ref[pl.ds(j % Wp, 1), :] = jnp.sqrt(
+                jnp.sum(u * u, axis=0, keepdims=True)
+            )
+
+        def make_body(with_norm):
+            def body(j, carry):
+                t, bsum = carry
+                active = t < nt - 1  # (1, tb)
+                u_old = us[0:D, :]
+                boundary = update_fn(us, beta_ref, ctrl, aux)
+                us[0:D, :] = jnp.where(active, us[0:D, :], u_old)
+                if with_norm:
+                    store_norm(j)
+                bsum = bsum + jnp.where(active, jnp.abs(boundary), 0.0)
+                t = t + active.astype(jnp.int32)
+                return t, bsum
+
+            return body
+
+        def make_fast_body(with_norm):
+            def body(j, carry):
+                t, bsum = carry
+                boundary = update_fn(us, beta_ref, ctrl, aux)
+                if with_norm:
+                    store_norm(j)
+                if not boundary_const:
+                    bsum = bsum + jnp.abs(boundary)
+                return t, bsum
+
+            return body
+
+        def seg(lo, hi, body, carry):
+            return jax.lax.fori_loop(lo, hi, body, carry)
+
+        def run(body_factory, carry):
+            start = 0
+            for j in norm_positions:  # static segment decomposition
+                if j > start:
+                    carry = seg(start, j, body_factory(False), carry)
+                carry = body_factory(True)(j, carry)
+                start = j + 1
+            if S > start:
+                carry = seg(start, S, body_factory(False), carry)
+            return carry
+
+        def fast(carry):
+            t, bsum = run(make_fast_body, carry)
+            if boundary_const:
+                bsum = bsum + S * jnp.abs(ctrl)
+            return t + S, bsum
+
+        def masked(carry):
+            return run(make_body, carry)
+
+        all_active = jnp.all(t0 + S <= nt - 1)
+        t, bsum = jax.lax.cond(
+            all_active, fast, masked, (t0, jnp.zeros_like(ctrl))
+        )
+        uo_ref[:] = us[0:D, :]
+        bsum_ref[:] = bsum
+        to_ref[:] = t
+
+    @jax.jit
+    def fn(u, beta, ctrl, t0):
+        B = u.shape[0]
+        if interpret:
+            tb, Bp = min(B, tile_b), B
+        else:
+            tb = tile_b if (tile_b % 128 == 0 and B % tile_b == 0) else 128
+            Bp = -(-B // tb) * tb  # lane blocks must be 128-aligned; pad
+        ut = jnp.zeros((D, Bp), u.dtype).at[:, :B].set(u.T)
+        betat = jnp.zeros((D, Bp), u.dtype).at[:, :B].set(beta.T)
+        ctrlt = jnp.zeros((1, Bp), u.dtype).at[:, :B].set(ctrl.T)
+        t0t = jnp.zeros((1, Bp), jnp.int32).at[:, :B].set(t0.T)
+        col_spec = pl.BlockSpec((D, tb), lambda i: (0, i),
+                                memory_space=pltpu.VMEM)
+        row_spec = pl.BlockSpec((1, tb), lambda i: (0, i),
+                                memory_space=pltpu.VMEM)
+        norm_spec = pl.BlockSpec((Wp, tb), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM)
+        u_out, norms, bsum, t_out = pl.pallas_call(
+            kernel,
+            grid=(Bp // tb,),
+            in_specs=[col_spec, col_spec, row_spec, row_spec],
+            out_specs=[col_spec, norm_spec, row_spec, row_spec],
+            out_shape=[
+                jax.ShapeDtypeStruct((D, Bp), u.dtype),
+                jax.ShapeDtypeStruct((Wp, Bp), u.dtype),
+                jax.ShapeDtypeStruct((1, Bp), u.dtype),
+                jax.ShapeDtypeStruct((1, Bp), jnp.int32),
+            ],
+            scratch_shapes=[pltpu.VMEM((NP, tb), u.dtype)],
+            interpret=interpret,
+        )(ut, betat, ctrlt, t0t)
+        return (u_out[:, :B].T, norms[:, :B].T, bsum[:, :B].T, t_out[:, :B].T)
+
+    return fn
+
+
 # -- per-PDE row updates (row-parallel forms of the envs' _advance) ----------
 
 
@@ -264,9 +422,10 @@ def burgers_update(dt: float, dx: float, nx: int, viscosity: float,
         up = _roll(u, -1, 1)
         # dtdx-scaled face flux to the right of cell i (valid for i < nx-1)
         if flux == "godunov":
-            a = jnp.maximum(u, 0.0)
-            b = jnp.minimum(up, 0.0)
-            flux_r = (0.5 * dtdx) * jnp.maximum(a * a, b * b)
+            # max(f(max(ul,0)), f(min(ur,0))) = f(max(ul, -ur, 0)) for convex
+            # f with f(-x)=f(x): one vector op fewer than the two-squares form
+            m = jnp.maximum(jnp.maximum(u, -up), 0.0)
+            flux_r = (0.5 * dtdx) * (m * m)
         else:  # rusanov
             coef = (0.5 * dtdx) * jnp.maximum(jnp.abs(u), jnp.abs(up))
             flux_r = (0.25 * dtdx) * (u * u + up * up) - coef * (up - u)
@@ -284,5 +443,43 @@ def burgers_update(dt: float, dx: float, nx: int, viscosity: float,
         return u_new, boundary
 
     update.make_aux = make_aux
+    update.boundary_const = not neumann
+    return update
+
+
+def burgers_update_t(dt: float, dx: float, nx: int, viscosity: float,
+                     neumann: bool, flux: str = "godunov"):
+    """Transposed in-place Burgers sub-step for ``make_interval_fn_t``: the
+    state axis is on sublanes, so the neighbor read ``us[1:nx+1]`` is an
+    offset slice (no lane rotation) and the two boundary writes are 1-row
+    stores (no full-width selects). Same scheme/semantics as
+    ``envs/burgers.py:_advance`` with all constants pre-folded."""
+    dtdx = dt / dx
+    nu_scaled = dtdx * (viscosity / dx) if viscosity else 0.0
+
+    def update(us, beta_ref, ctrl, aux):
+        u = us[0:nx, :]
+        up = us[1:nx + 1, :]  # row nx is zeroed padding; row nx-1 of the
+        # result is overwritten by the boundary store below
+        if flux == "godunov":
+            m = jnp.maximum(jnp.maximum(u, -up), 0.0)
+            fr = (0.5 * dtdx) * (m * m)
+        else:  # rusanov
+            coef = (0.5 * dtdx) * jnp.maximum(jnp.abs(u), jnp.abs(up))
+            fr = (0.25 * dtdx) * (u * u + up * up) - coef * (up - u)
+        if nu_scaled:
+            fr = fr - nu_scaled * (up - u)
+        fl = pltpu.roll(fr, 1, 0)  # wraps garbage into row 0: overwritten
+        un = u - (fr - fl)
+        if neumann:
+            boundary = ctrl * dx + u[nx - 2:nx - 1, :]  # previous state's [-2]
+        else:
+            boundary = ctrl
+        us[0:nx, :] = un
+        us[nx - 1:nx, :] = boundary
+        us[0:1, :] = un[1:2, :]  # zero-gradient left outflow (new interior)
+        return boundary
+
+    update.transposed = True
     update.boundary_const = not neumann
     return update

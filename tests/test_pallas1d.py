@@ -87,6 +87,41 @@ def test_burgers_pallas_matches_xla():
     _compare(*_pair(BurgersEnv, cfg, reward), steps=4)
 
 
+def test_burgers_transposed_terminal_interval():
+    # 2 full intervals then a terminal one: exercises the transposed kernel's
+    # masked path (per-sub-step freeze of finished envs) and its t bookkeeping
+    cfg = BurgersConfig(
+        T=0.025, dt=1e-4, X=1.0, dx=1.0 / 256, control_sample_rate=0.01,
+        viscosity=1e-3,
+    )
+    reward = TunedReward1D(int(round(cfg.T / cfg.dt)))
+    _compare(*_pair(BurgersEnv, cfg, reward), steps=4)
+
+
+def test_burgers_transposed_neumann_boundary():
+    # Neumann control: boundary varies per sub-step -> non-constant bsum
+    # accumulation inside the transposed kernel
+    cfg = BurgersConfig(
+        T=0.1, dt=1e-4, X=1.0, dx=1.0 / 256, control_sample_rate=0.01,
+        viscosity=1e-3, control_type="Neumann",
+    )
+    reward = TunedReward1D(int(round(cfg.T / cfg.dt)))
+    _compare(*_pair(BurgersEnv, cfg, reward), steps=3)
+
+
+def test_burgers_unaligned_state_uses_lane_kernel():
+    # nx not a multiple of 8 -> falls back to the lane-layout kernel
+    cfg = BurgersConfig(
+        T=0.1, dt=1e-4, X=1.0, dx=1.0 / 100, control_sample_rate=0.01,
+        viscosity=1e-3,
+    )
+    reward = TunedReward1D(int(round(cfg.T / cfg.dt)))
+    env = BurgersEnv(dataclasses.replace(cfg, backend="pallas"), reward)
+    update_fn, _ = env._pallas_spec()
+    assert not getattr(update_fn, "transposed", False)
+    _compare(*_pair(BurgersEnv, cfg, reward), steps=2)
+
+
 def test_pallas_fallback_paths():
     # implicit scheme cannot use the fused kernel -> silently uses vmap/XLA
     cfg = ReactionDiffusionConfig(
