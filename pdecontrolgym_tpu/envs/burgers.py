@@ -81,24 +81,16 @@ class BurgersEnv(Boundary1DEnv):
 
     def _pallas_spec(self):
         from pdecontrolgym_tpu.core.sensing import is_neumann
-        from pdecontrolgym_tpu.ops.pallas1d import (
-            burgers_update,
-            burgers_update_t,
-        )
+        from pdecontrolgym_tpu.ops.pallas1d import burgers_update_t
 
         c = self.config
         neumann = is_neumann(c.control_type)
         if neumann and c.normalize:
             return None
-        if self.state_dim % 8 == 0:
-            # transposed in-place kernel: sublane-offset stencil + 1-row
-            # boundary stores, 1.28x the lane skeleton at nx=256 (needs
-            # sublane-aligned state rows)
-            update = burgers_update_t(c.dt, c.dx, self.state_dim,
-                                      c.viscosity, neumann, c.flux)
-        else:
-            update = burgers_update(c.dt, c.dx, self.state_dim, c.viscosity,
-                                    neumann, c.flux)
+        # transposed in-place kernel: sublane-offset stencil + 1-row boundary
+        # stores (630M vs the lane kernel's 365M sub-steps/s at 4096x256)
+        update = burgers_update_t(c.dt, c.dx, self.state_dim, c.viscosity,
+                                  neumann, c.flux)
         if neumann:
             ctrl = lambda control: control
         else:

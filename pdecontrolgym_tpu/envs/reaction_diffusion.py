@@ -37,6 +37,12 @@ class ReactionDiffusionConfig(Boundary1DConfig):
     control_sample_rate: float = 1e-4  # parabolic.py:34 default
     scheme: str = "explicit"  # "explicit" (parity) or "implicit"
     theta: float = 1.0  # implicit only: 1.0 = backward Euler, 0.5 = CN
+    # implicit sub-step solver: "thomas" (batched O(n) sweeps — works with any
+    # per-env β) or "dense" (precompute the affine propagator u⁺ = P·u + q·b
+    # once on the host and apply it as ONE batched matmul per sub-step — the
+    # θ-scheme operators are constant, so the whole solve rides the MXU
+    # instead of 2n sequential VPU scan steps; requires an env-invariant β)
+    implicit_solver: str = "thomas"
 
 
 class ReactionDiffusionEnv(Boundary1DEnv):
@@ -46,6 +52,11 @@ class ReactionDiffusionEnv(Boundary1DEnv):
         super().__init__(config, reward, ic_sampler, noise_fn)
         if getattr(config, "scheme", "explicit") not in ("explicit", "implicit"):
             raise ValueError(f"Invalid scheme {config.scheme!r}")
+        if (config.scheme == "implicit"
+                and getattr(config, "implicit_solver", "thomas") == "dense"):
+            # must be built EAGERLY (omnistaging would stage the host
+            # precompute if triggered inside a jit trace)
+            self._dense_propagator()
 
     @property
     def state_dim(self) -> int:
@@ -55,7 +66,14 @@ class ReactionDiffusionEnv(Boundary1DEnv):
         c = self.config
         boundary = self._control_fn(control, u_prev[-2])
         if getattr(c, "scheme", "explicit") == "implicit":
-            u_new = self._implicit_interior(u_prev, beta, boundary)
+            if getattr(c, "implicit_solver", "thomas") == "dense":
+                P, q = self._dense_propagator()
+                # one (n,)@(n,n) per env — vmap batches it into a single
+                # (B,n)@(n,n) MXU matmul per sub-step (vs 2n sequential
+                # VPU scan steps for the Thomas sweeps)
+                u_new = jnp.dot(P, u_prev, precision="highest") + q * boundary
+            else:
+                u_new = self._implicit_interior(u_prev, beta, boundary)
         else:
             F = c.dtype(c.dt / c.dx**2)
             dt = c.dtype(c.dt)
@@ -68,6 +86,50 @@ class ReactionDiffusionEnv(Boundary1DEnv):
                 [jnp.zeros((1,), c.dtype), interior, boundary[None]]
             )
         return u_new, boundary
+
+    def _dense_propagator(self):
+        """Host-precomputed affine θ-scheme propagator ``u⁺ = P·u + q·b``.
+
+        ``(I − θ·dt·L) u⁺ = (I + (1−θ)·dt·L) u`` with pinned edge rows is an
+        affine map with CONSTANT operators (β is a fixed plant parameter), so
+        ``P = T⁻¹E`` and ``q = T⁻¹e_{n-1}`` are computed once in float64 and
+        each sub-step becomes a batched dense matmul. Requires β to be
+        env-invariant — verified against the IC sampler at build time.
+        """
+        cached = getattr(self, "_dense_cache", None)
+        if cached is None:
+            import numpy as np
+
+            c = self.config
+            ic = self.ic_sampler or self.default_ic
+            beta = np.asarray(jax.device_get(ic(jax.random.key(0))[1]), np.float64)
+            beta_b = np.asarray(jax.device_get(ic(jax.random.key(1))[1]), np.float64)
+            if not np.array_equal(beta, beta_b):
+                raise ValueError(
+                    "implicit_solver='dense' requires an env-invariant beta "
+                    "(the IC sampler returned different beta for different "
+                    "keys); use implicit_solver='thomas'"
+                )
+            n = self.state_dim
+            F = float(c.dt) / float(c.dx) ** 2
+            th, dt = float(c.theta), float(c.dt)
+            T = np.eye(n)
+            E = np.zeros((n, n))
+            for i in range(1, n - 1):
+                T[i, i - 1] = T[i, i + 1] = -th * F
+                T[i, i] = 1.0 + th * (2.0 * F - dt * beta[i])
+                E[i, i - 1] = E[i, i + 1] = (1.0 - th) * F
+                E[i, i] = 1.0 + (1.0 - th) * (dt * beta[i] - 2.0 * F)
+            e_last = np.zeros(n)
+            e_last[-1] = 1.0
+            P = np.linalg.solve(T, E)
+            q = np.linalg.solve(T, e_last)
+            cached = (
+                jnp.asarray(P, c.dtype),
+                jnp.asarray(q, c.dtype),
+            )
+            self._dense_cache = cached
+        return cached
 
     def _implicit_interior(self, u_prev, beta, boundary):
         """One θ-scheme sub-step: (I − θ·dt·L) u⁺ = (I + (1−θ)·dt·L) u with
@@ -96,7 +158,7 @@ class ReactionDiffusionEnv(Boundary1DEnv):
 
     def _pallas_spec(self):
         from pdecontrolgym_tpu.core.sensing import is_neumann
-        from pdecontrolgym_tpu.ops.pallas1d import reaction_diffusion_update
+        from pdecontrolgym_tpu.ops.pallas1d import reaction_diffusion_update_t
 
         c = self.config
         if getattr(c, "scheme", "explicit") != "explicit":
@@ -106,7 +168,8 @@ class ReactionDiffusionEnv(Boundary1DEnv):
             # normalize() wraps the state-dependent Neumann update; not
             # expressible as a constant per-interval control — XLA fallback
             return None
-        update = reaction_diffusion_update(c.dt, c.dx, self.state_dim, neumann)
+        update = reaction_diffusion_update_t(c.dt, c.dx, self.state_dim,
+                                             neumann)
         if neumann:
             ctrl = lambda control: control
         else:

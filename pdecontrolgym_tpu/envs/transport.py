@@ -45,14 +45,14 @@ class TransportEnv(Boundary1DEnv):
         return u_new, boundary
 
     def _pallas_spec(self):
-        from pdecontrolgym_tpu.ops.pallas1d import transport_update
+        from pdecontrolgym_tpu.ops.pallas1d import transport_update_t
 
         c = self.config
         # the boundary value is constant over the interval for BOTH control
         # types (the Neumann neighbor reads the new row's still-zero [-2])
         zero = jnp.zeros((), c.dtype)
         return (
-            transport_update(c.dt, c.dx, self.state_dim),
+            transport_update_t(c.dt, c.dx, self.state_dim),
             lambda control: self._control_fn(control, zero),
         )
 

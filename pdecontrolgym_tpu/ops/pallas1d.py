@@ -34,6 +34,10 @@ def _col_iota(shape):
     return jax.lax.broadcasted_iota(jnp.int32, shape, dimension=1)
 
 
+def _pad8(n: int) -> int:
+    return -(-n // 8) * 8
+
+
 def _roll(x, shift, axis):
     """jnp.roll semantics; pltpu.roll only accepts non-negative shifts."""
     return pltpu.roll(x, shift % x.shape[axis], axis)
@@ -214,15 +218,17 @@ def make_interval_fn_t(
     ``u`` in the usual ``(B, state_dim)`` layout (transposes at the interval
     boundary are ~1% of interval cost).
 
-    Requires ``state_dim % 8 == 0`` on real TPUs (sublane block alignment);
-    callers gate on that and fall back to the lane kernel.
+    Sublane-unaligned state sizes are handled by padding the row count up to
+    a multiple of 8 with zero rows; updates compute over the padded rows and
+    are responsible for keeping them zero (re-zeroing the single row their
+    stencil pollutes), so the norm reduction can safely run over all rows.
     """
     S = sample_rate
     Wn = min(window, S)
     Wp = -(-Wn // 8) * 8
     if norm_positions is None:
         norm_positions = tuple(range(S - Wn, S))
-    D = state_dim
+    D = _pad8(state_dim)  # sublane-aligned row count (zero-padded)
     NP = D + 8  # padded scratch rows so the +1 neighbor slice stays in bounds
     if tile_b is None:
         # 128 lanes measured best for the in-place scratch kernel at nx=256
@@ -305,16 +311,21 @@ def make_interval_fn_t(
         bsum_ref[:] = bsum
         to_ref[:] = t
 
+    beta_transform = getattr(update_fn, "beta_transform", None)
+
     @jax.jit
     def fn(u, beta, ctrl, t0):
-        B = u.shape[0]
+        B, Ds = u.shape
         if interpret:
             tb, Bp = min(B, tile_b), B
         else:
             tb = tile_b if (tile_b % 128 == 0 and B % tile_b == 0) else 128
             Bp = -(-B // tb) * tb  # lane blocks must be 128-aligned; pad
-        ut = jnp.zeros((D, Bp), u.dtype).at[:, :B].set(u.T)
-        betat = jnp.zeros((D, Bp), u.dtype).at[:, :B].set(beta.T)
+        if beta_transform is not None:
+            # hoist loop-invariant scaling (e.g. dt·beta) out of the kernel
+            beta = beta_transform(beta)
+        ut = jnp.zeros((D, Bp), u.dtype).at[:Ds, :B].set(u.T)
+        betat = jnp.zeros((D, Bp), u.dtype).at[:Ds, :B].set(beta.T)
         ctrlt = jnp.zeros((1, Bp), u.dtype).at[:, :B].set(ctrl.T)
         t0t = jnp.zeros((1, Bp), jnp.int32).at[:, :B].set(t0.T)
         col_spec = pl.BlockSpec((D, tb), lambda i: (0, i),
@@ -337,7 +348,8 @@ def make_interval_fn_t(
             scratch_shapes=[pltpu.VMEM((NP, tb), u.dtype)],
             interpret=interpret,
         )(ut, betat, ctrlt, t0t)
-        return (u_out[:, :B].T, norms[:, :B].T, bsum[:, :B].T, t_out[:, :B].T)
+        return (u_out[:Ds, :B].T, norms[:, :B].T, bsum[:, :B].T,
+                t_out[:, :B].T)
 
     return fn
 
@@ -456,11 +468,12 @@ def burgers_update_t(dt: float, dx: float, nx: int, viscosity: float,
     ``envs/burgers.py:_advance`` with all constants pre-folded."""
     dtdx = dt / dx
     nu_scaled = dtdx * (viscosity / dx) if viscosity else 0.0
+    dp = _pad8(nx)
 
     def update(us, beta_ref, ctrl, aux):
-        u = us[0:nx, :]
-        up = us[1:nx + 1, :]  # row nx is zeroed padding; row nx-1 of the
-        # result is overwritten by the boundary store below
+        u = us[0:dp, :]
+        up = us[1:dp + 1, :]  # rows nx..dp+1 are zeroed padding; row nx-1 of
+        # the result is overwritten by the boundary store below
         if flux == "godunov":
             m = jnp.maximum(jnp.maximum(u, -up), 0.0)
             fr = (0.5 * dtdx) * (m * m)
@@ -475,11 +488,71 @@ def burgers_update_t(dt: float, dx: float, nx: int, viscosity: float,
             boundary = ctrl * dx + u[nx - 2:nx - 1, :]  # previous state's [-2]
         else:
             boundary = ctrl
-        us[0:nx, :] = un
+        us[0:dp, :] = un
         us[nx - 1:nx, :] = boundary
         us[0:1, :] = un[1:2, :]  # zero-gradient left outflow (new interior)
+        if nx < dp:
+            # the flux difference leaks fr[nx-1] into pad row nx; keep pads
+            # zero so the norm reduction over all dp rows stays exact
+            us[nx:nx + 1, :] = jnp.zeros_like(ctrl)
         return boundary
 
     update.transposed = True
     update.boundary_const = not neumann
+    return update
+
+
+def transport_update_t(dt: float, dx: float, nx: int):
+    """Transposed in-place transport sub-step (same semantics as
+    ``transport_update``): boundary row nx-1 is the pre-resolved control
+    value, interior is the upwind step. The upwind stencil only reads the
+    +1 neighbor, so the zero pad rows stay zero (beta pads are zero).
+    The expression keeps the XLA path's exact association
+    (``u + dt*((up-u)/dx + u0*beta)``) so the two backends match bitwise."""
+    dp = _pad8(nx)
+
+    def update(us, beta_ref, ctrl, aux):
+        u = us[0:dp, :]
+        up = us[1:dp + 1, :]
+        # u[0:1] is the OLD recirculation value u(0,t), broadcast down rows
+        un = u + dt * ((up - u) / dx + u[0:1, :] * beta_ref[:])
+        us[0:dp, :] = un
+        us[nx - 1:nx, :] = ctrl
+        return ctrl
+
+    update.transposed = True
+    update.boundary_const = True
+    return update
+
+
+def reaction_diffusion_update_t(dt: float, dx: float, state_dim: int,
+                                neumann: bool):
+    """Transposed in-place FTCS sub-step (same semantics as
+    ``reaction_diffusion_update``): u[0]=0 fixed BC, boundary from the
+    PREVIOUS state's [-2] for Neumann control (parabolic.py:148-150)."""
+    F = dt / dx**2
+    n = state_dim
+    dp = _pad8(n)
+
+    def update(us, beta_ref, ctrl, aux):
+        u = us[0:dp, :]
+        up = us[1:dp + 1, :]
+        um = pltpu.roll(u, 1, 0)  # wraps pad row dp-1 (zero) into row 0:
+        # row 0 is overwritten by the fixed BC below either way
+        un = u + F * (um - 2.0 * u + up) + u * beta_ref[:]  # beta = dt·λ
+        if neumann:
+            boundary = ctrl * dx + u[n - 2:n - 1, :]
+        else:
+            boundary = ctrl
+        us[0:dp, :] = un
+        us[0:1, :] = jnp.zeros_like(ctrl)  # fixed u(0,t)=0
+        us[n - 1:n, :] = boundary
+        if n < dp:
+            # the centered stencil leaks F·u[n-1] into pad row n via um
+            us[n:n + 1, :] = jnp.zeros_like(ctrl)
+        return boundary
+
+    update.transposed = True
+    update.boundary_const = not neumann
+    update.beta_transform = lambda beta: beta * dt
     return update

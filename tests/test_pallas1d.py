@@ -109,16 +109,15 @@ def test_burgers_transposed_neumann_boundary():
     _compare(*_pair(BurgersEnv, cfg, reward), steps=3)
 
 
-def test_burgers_unaligned_state_uses_lane_kernel():
-    # nx not a multiple of 8 -> falls back to the lane-layout kernel
+def test_burgers_unaligned_state_dim():
+    # nx=100 is not a multiple of 8: the transposed kernel zero-pads the state
+    # rows to 104 and the update re-zeroes the row its flux difference leaks
+    # into, so norms/rewards stay exact
     cfg = BurgersConfig(
         T=0.1, dt=1e-4, X=1.0, dx=1.0 / 100, control_sample_rate=0.01,
         viscosity=1e-3,
     )
     reward = TunedReward1D(int(round(cfg.T / cfg.dt)))
-    env = BurgersEnv(dataclasses.replace(cfg, backend="pallas"), reward)
-    update_fn, _ = env._pallas_spec()
-    assert not getattr(update_fn, "transposed", False)
     _compare(*_pair(BurgersEnv, cfg, reward), steps=2)
 
 

@@ -147,6 +147,52 @@ def test_implicit_stable_where_explicit_blows_up():
     assert not np.isfinite(np.asarray(state.u)).all() or np.abs(np.asarray(state.u)).max() > 1e3
 
 
+def test_dense_propagator_matches_thomas():
+    """implicit_solver='dense' (precomputed affine propagator, one matmul per
+    sub-step) reproduces the per-sub-step Thomas solve over full control
+    intervals, for both control types."""
+    for control_type in ("Dirchilet", "Neumann"):
+        kw = dict(T=0.1, dt=4e-4, X=1.0, dx=5e-3, control_sample_rate=4e-3,
+                  scheme="implicit", theta=0.5, control_type=control_type)
+        env_t = ReactionDiffusionEnv(
+            ReactionDiffusionConfig(**kw), TunedReward1D(250))
+        env_d = ReactionDiffusionEnv(
+            ReactionDiffusionConfig(**kw, implicit_solver="dense"),
+            TunedReward1D(250))
+        key = jax.random.key(3)
+        st_t, _ = env_t.init(key)
+        st_d, _ = env_d.init(key)
+        step_t, step_d = jax.jit(env_t.step), jax.jit(env_d.step)
+        for i in range(4):
+            a = jnp.float32(0.3 * (i - 1))
+            st_t, out_t = step_t(st_t, a)
+            st_d, out_d = step_d(st_d, a)
+            scale = np.abs(np.asarray(st_t.u)).max()
+            np.testing.assert_allclose(
+                np.asarray(st_d.u), np.asarray(st_t.u),
+                atol=1e-4 * max(1.0, scale),
+            )
+            np.testing.assert_allclose(
+                np.asarray(out_d.reward), np.asarray(out_t.reward),
+                rtol=1e-3, atol=1e-3,
+            )
+
+
+def test_dense_propagator_rejects_random_beta():
+    cfg = ReactionDiffusionConfig(
+        T=0.1, dt=4e-4, X=1.0, dx=5e-3, control_sample_rate=4e-3,
+        scheme="implicit", implicit_solver="dense",
+    )
+
+    def random_beta_ic(key):
+        u0 = jnp.ones(201, jnp.float32)
+        return u0, jax.random.uniform(key, (201,), jnp.float32)
+
+    with pytest.raises(ValueError, match="env-invariant beta"):
+        ReactionDiffusionEnv(cfg, TunedReward1D(250),
+                             ic_sampler=random_beta_ic)
+
+
 def test_tridiag_solvers_agree_with_dense():
     rng = np.random.default_rng(3)
     n, batch = 64, 5
