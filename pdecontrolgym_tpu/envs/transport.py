@@ -24,14 +24,15 @@ TransportConfig = Boundary1DConfig
 
 class TransportEnv(Boundary1DEnv):
     def _pallas_auto(self) -> bool:
-        # crossover sweep (docs/PERFORMANCE.md): XLA's VMEM-resident scan wins
-        # at nx=128 (986M vs 587M sub-steps/s), Pallas from nx>=256 on
-        # (509 vs 485 at 256, widening as the XLA carry spills: 202 vs 157 at
-        # 1024, 108 vs 36 at 2048). Above 2048 the minimum 128-row tile no
-        # longer fits VMEM (Mosaic scoped-stack OOM at nx=4096) -> xla.
+        # crossover sweep with the transposed kernel (docs/PERFORMANCE.md):
+        # Pallas wins from nx=128 up (full-episode 2.53B vs XLA's 2.19B at
+        # 128; 884M vs 466M at 256, widening as the XLA carry spills: 140M vs
+        # 36M at 2048). XLA still wins for tiny states (1.18B vs 1.07B at
+        # nx=64) and above 2048, where the padded scratch blows the Mosaic
+        # scoped-VMEM limit (17.8M vs 16M at nx=4096).
         import jax
 
-        return 256 <= self.state_dim <= 2048 and jax.default_backend() != "cpu"
+        return 128 <= self.state_dim <= 2048 and jax.default_backend() != "cpu"
 
     def _advance(self, u_prev, beta, control):
         c = self.config
