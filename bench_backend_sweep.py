@@ -46,6 +46,26 @@ def _mk_burgers(nx, backend):
     return env, policy, cfg.sample_rate
 
 
+def _mk_rd(nx, backend):
+    from pdecontrolgym_tpu.envs.reaction_diffusion import (
+        ReactionDiffusionConfig,
+        ReactionDiffusionEnv,
+    )
+    from pdecontrolgym_tpu.rewards.tuned import TunedReward1D
+
+    # explicit FTCS: dt pinned to 0.4x the Fourier stability bound, 100
+    # sub-steps per control interval at every size
+    dx = 1.0 / nx
+    dt = 0.4 * dx * dx
+    cfg = ReactionDiffusionConfig(
+        T=10_000 * dt, dt=dt, X=1.0, dx=dx, control_sample_rate=100 * dt,
+        scheme="explicit", backend=backend,
+    )
+    env = ReactionDiffusionEnv(cfg, TunedReward1D(int(round(cfg.T / cfg.dt))))
+    policy = lambda obs, _k: -0.5 * obs[..., -2]
+    return env, policy, cfg.sample_rate
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--envs", type=int, default=4096)
@@ -55,6 +75,7 @@ def main():
     # fails at nx=4096 with the default dt/viscosity
     ap.add_argument("--transport-nx", default="128,256,512,1024,2048,4096")
     ap.add_argument("--burgers-nx", default="128,256,512,1024,2048")
+    ap.add_argument("--rd-nx", default="128,256,512,1024,2048")
     args = ap.parse_args()
 
     from pdecontrolgym_tpu.parallel.rollout import rollout
@@ -64,6 +85,8 @@ def main():
         jobs.append(("transport", int(nx), _mk_transport))
     for nx in filter(None, args.burgers_nx.split(",")):
         jobs.append(("burgers", int(nx), _mk_burgers))
+    for nx in filter(None, args.rd_nx.split(",")):
+        jobs.append(("reaction_diffusion", int(nx), _mk_rd))
 
     for name, nx, mk in jobs:
         for backend in ("xla", "pallas"):

@@ -62,6 +62,18 @@ class ReactionDiffusionEnv(Boundary1DEnv):
     def state_dim(self) -> int:
         return self.config.nx + 1  # ghost point
 
+    def _pallas_auto(self) -> bool:
+        # crossover sweep (docs/PERFORMANCE.md): the transposed kernel wins at
+        # every swept size for the explicit FTCS body — 101M vs 89M
+        # sub-steps/s at nx=128, widening to 3.2x at nx=2048 (62M vs 19M) as
+        # the XLA carry spills. Measured through state 2049 (nx=2048);
+        # Mosaic's scoped-VMEM limit OOMs near 4096 rows, so cap there.
+        import jax
+
+        return (getattr(self.config, "scheme", "explicit") == "explicit"
+                and 128 <= self.state_dim <= 2056
+                and jax.default_backend() != "cpu")
+
     def _advance(self, u_prev, beta, control):
         c = self.config
         boundary = self._control_fn(control, u_prev[-2])
