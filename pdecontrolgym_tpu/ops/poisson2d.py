@@ -150,8 +150,12 @@ def direct_pressure(u, v, p0, dx, dy, dt, density, basis):
     sweeps. ``p0`` is accepted for signature parity and ignored (direct
     solves need no initial guess)."""
     qy, qx, inv = basis["qy"], basis["qx"], basis["inv"]
-    rhs = density / dt * (ddx(u, dx) + ddy(v, dy))
-    g = -dx * dy * rhs[..., 1:-1, 1:-1]
+    # interior divergence directly from slices (== (ddx(u)+ddy(v))[1:-1,1:-1]
+    # without materializing the zero-bordered temporaries)
+    g = (-dx * dy * density / dt) * (
+        (u[..., 1:-1, 2:] - u[..., 1:-1, :-2]) / (2.0 * dx)
+        + (v[..., 2:, 1:-1] - v[..., :-2, 1:-1]) / (2.0 * dy)
+    )
     # spectral transform: T = Qyᵀ @ G @ Qx  (batched over leading axes)
     t = jnp.einsum("im,...ij,jn->...mn", qy, g, qx)
     t = t * inv  # per-mode inverse eigenvalue; (0,0) null mode -> 0
@@ -169,8 +173,10 @@ def jacobi_pressure(u, v, p0, dx, dy, dt, density, iters: int):
     ``iters=2000`` reproduces the reference exactly (no convergence check,
     ``navier_stokes2D.py:104-114``); smaller values give the fast mode.
     """
-    rhs = density / dt * (ddx(u, dx) + ddy(v, dy))
-    rhs_c = rhs[..., 1:-1, 1:-1]
+    rhs_c = density / dt * (
+        (u[..., 1:-1, 2:] - u[..., 1:-1, :-2]) / (2.0 * dx)
+        + (v[..., 2:, 1:-1] - v[..., :-2, 1:-1]) / (2.0 * dy)
+    )
 
     def body(_, p):
         interior = 0.25 * (
