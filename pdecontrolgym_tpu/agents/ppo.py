@@ -289,22 +289,26 @@ class PPOTrainer:
         """
         runner = self.init(key)
         train_step = self.make_train_step()
-        best_score, best_params = -float("inf"), None
+        best_score, best_runner = -float("inf"), None
         for it in range(num_iterations):
             runner, metrics = train_step(runner)
             last = it == num_iterations - 1
             if eval_fn is not None and (it % eval_every == 0 or last):
                 score = float(eval_fn(runner.params))
                 if score > best_score:
-                    best_score, best_params = score, jax.device_get(runner.params)
+                    # snapshot the WHOLE runner (params + opt_state + env
+                    # state), not just params: restoring best params against
+                    # the last iteration's Adam moments would resume training
+                    # along stale momentum directions
+                    best_score, best_runner = score, jax.device_get(runner)
                 if callback is not None:
                     callback(it, {**jax.device_get(metrics), "eval": score,
                                   "best_eval": best_score})
                     continue
             if callback is not None and (it % log_every == 0 or last):
                 callback(it, jax.device_get(metrics))
-        if select_best and best_params is not None:
-            runner = runner.replace(params=jax.device_put(best_params))
+        if select_best and best_runner is not None:
+            runner = jax.device_put(best_runner)
         return runner
 
     def policy(self, params, deterministic: bool = True):

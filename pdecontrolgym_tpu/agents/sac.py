@@ -374,7 +374,7 @@ class SACTrainer:
         float``, higher = better."""
         runner = self.init(key)
         train_step = self.make_train_step()
-        best_score, best_params = -float("inf"), None
+        best_score, best_runner = -float("inf"), None
         for it in range(num_iterations):
             runner, metrics = train_step(runner)
             last = it == num_iterations - 1
@@ -382,15 +382,19 @@ class SACTrainer:
                 score = float(eval_fn(runner.actor_params))
                 if score > best_score:
                     best_score = score
-                    best_params = jax.device_get(runner.actor_params)
+                    # snapshot the WHOLE runner (actor + critic + targets +
+                    # opt states + replay buffer): restoring best actor
+                    # params alone would leave the critic/opt-state at the
+                    # last iteration — inconsistent for resumed training
+                    best_runner = jax.device_get(runner)
                 if callback is not None:
                     callback(it, {**jax.device_get(metrics), "eval": score,
                                   "best_eval": best_score})
                     continue
             if callback is not None and (it % log_every == 0 or last):
                 callback(it, jax.device_get(metrics))
-        if select_best and best_params is not None:
-            runner = runner.replace(actor_params=jax.device_put(best_params))
+        if select_best and best_runner is not None:
+            runner = jax.device_put(best_runner)
         return runner
 
     def policy(self, actor_params, deterministic: bool = True):

@@ -43,10 +43,12 @@ class BurgersConfig(Boundary1DConfig):
 
 class BurgersEnv(Boundary1DEnv):
     def _pallas_auto(self) -> bool:
-        # pallas won at every swept size for this scheme; XLA only on CPU
+        # pallas won at every swept size (nx<=2048) for this scheme; XLA on
+        # CPU, and above 2048 where the padded transposed scratch hits
+        # Mosaic's scoped-VMEM limit (same cap as transport/RD)
         import jax
 
-        return jax.default_backend() != "cpu"
+        return self.state_dim <= 2048 and jax.default_backend() != "cpu"
 
     def _advance(self, u_prev, beta, control):
         c = self.config

@@ -336,10 +336,7 @@ class Boundary1DEnv(FunctionalEnv):
     def _get_interval_fn(self):
         fn = getattr(self, "_interval_fn", None)
         if fn is None:
-            from pdecontrolgym_tpu.ops.pallas1d import (
-                make_interval_fn,
-                make_interval_fn_t,
-            )
+            from pdecontrolgym_tpu.ops.pallas1d import make_interval_fn_t
 
             spec = self._pallas_spec()
             if spec is None:
@@ -347,14 +344,7 @@ class Boundary1DEnv(FunctionalEnv):
                 return False
             update_fn, self._ctrl_transform = spec
             c = self.config
-            # transposed updates (state axis on sublanes) use the in-place
-            # scratch kernel; lane-layout updates use the value-carry kernel
-            builder = (
-                make_interval_fn_t
-                if getattr(update_fn, "transposed", False)
-                else make_interval_fn
-            )
-            fn = builder(
+            fn = make_interval_fn_t(
                 update_fn,
                 sample_rate=c.sample_rate,
                 nt=c.nt,

@@ -7,12 +7,12 @@ batch into VMEM, run ALL ``S`` sub-steps of the control interval on-chip, and
 write back once: HBM traffic per agent step drops from ``2·S·B·nx`` floats to
 ``(2·nx + S)·B`` (state in/out + the per-sub-step L2 norms the reward needs).
 
-The per-PDE row update is injected as a traced function ``update(u, beta,
-ctrl, aux) -> (u_new, boundary)`` built from rolls and column masks (no
-concat), so transport / reaction-diffusion / Burgers share one kernel
-skeleton. ``aux`` carries loop-invariant boolean column masks, built ONCE
-before the sub-step loops (hand-LICM — the hot body is vector-issue-bound, so
-every hoisted vreg op is ~1/20th of the sub-step cost).
+The per-PDE sub-step is injected as a traced in-place function
+``update(us, beta_ref, ctrl, aux) -> boundary`` over a transposed
+``(state_dim_padded, tile_b)`` VMEM scratch (PDE axis on sublanes, envs on
+lanes), so transport / reaction-diffusion / Burgers share one kernel
+skeleton. Neighbor reads are offset sublane slices and boundary writes are
+1-row stores — no full-width lane rotations or selects in the hot body.
 
 Two loop variants: episodes end at ``nt-1``, so the kernel branches per tile
 on ``all(t0 + S <= nt-1)`` — the fast path (every interval except the last
@@ -30,162 +30,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _col_iota(shape):
-    return jax.lax.broadcasted_iota(jnp.int32, shape, dimension=1)
-
-
 def _pad8(n: int) -> int:
     return -(-n // 8) * 8
-
-
-def _roll(x, shift, axis):
-    """jnp.roll semantics; pltpu.roll only accepts non-negative shifts."""
-    return pltpu.roll(x, shift % x.shape[axis], axis)
-
-
-def make_interval_fn(
-    update_fn: Callable,
-    *,
-    sample_rate: int,
-    nt: int,
-    state_dim: int,
-    window: int,
-    norm_positions: tuple = None,
-    tile_b: int = None,
-    unroll: int = 1,
-    interpret: bool = False,
-):
-    """Build ``fn(u, beta, ctrl, t0) -> (u_out, norms_win, bsum_add, t_out)``.
-
-    Shapes: u/beta ``(B, state_dim)`` f32, ctrl ``(B, 1)`` f32 (pre-resolved
-    control scalar), t0 ``(B, 1)`` i32.
-
-    The per-sub-step L2 norm is a cross-lane reduction — computing it every
-    sub-step triples the kernel cost — so the kernel evaluates it only for the
-    last ``min(window, S)`` sub-steps and returns them as a cyclic buffer
-    ``(B, Wp)`` written at slot ``j % Wp`` (``Wp`` sublane-aligned). The caller
-    reconstructs the trailing window (ops order in envs/common.py).
-    """
-    S = sample_rate
-    Wn = min(window, S)
-    Wp = -(-Wn // 8) * 8  # sublane-aligned cyclic buffer
-    if norm_positions is None:
-        norm_positions = tuple(range(S - Wn, S))
-    if tile_b is None:
-        # keep ~6 live (tile_b, state_dim) f32 buffers within a few MB of
-        # VMEM; 256 measured best at nx=256 (and compiles 5x faster than 512).
-        # Floor 128: the norms output block is (Wp, tile_b) with tile_b on
-        # the LANE dim, and Mosaic requires lane blocks divisible by 128.
-        fit = max(1, (1 << 17) // max(state_dim, 1))
-        tile_b = max(128, min(256, 1 << (fit.bit_length() - 1)))
-    make_aux = getattr(update_fn, "make_aux", lambda shape: None)
-    boundary_const = bool(getattr(update_fn, "boundary_const", False))
-
-    def kernel(u_ref, beta_ref, ctrl_ref, t0_ref, uo_ref, norms_ref, bsum_ref, to_ref):
-        u0 = u_ref[:]
-        beta = beta_ref[:]
-        ctrl = ctrl_ref[:]
-        t0 = t0_ref[:]
-        aux = make_aux(u0.shape)  # loop-invariant column masks, built once
-
-        def store_norm(j, u_new):
-            # dynamic store must index the sublane dim (lane-dim dynamic
-            # stores need 128-alignment)
-            norm_row = jnp.sqrt(jnp.sum(u_new * u_new, axis=1, keepdims=True))
-            norms_ref[pl.ds(j % Wp, 1), :] = norm_row.reshape(1, -1)
-
-        # -- masked bodies (episode boundary inside this interval) ------------
-        def make_body(with_norm):
-            def body(j, carry):
-                u, t, bsum = carry
-                active = t < nt - 1  # (TB, 1)
-                u_new, boundary = update_fn(u, beta, ctrl, aux)
-                u_new = jnp.where(active, u_new, u)
-                if with_norm:
-                    store_norm(j, u_new)
-                bsum = bsum + jnp.where(active, jnp.abs(boundary), 0.0)
-                t = t + active.astype(jnp.int32)
-                return u_new, t, bsum
-
-            return body
-
-        # -- fast bodies (whole tile mid-episode: no per-sub-step masking) ----
-        def make_fast_body(with_norm):
-            def body(j, carry):
-                u, t, bsum = carry
-                u_new, boundary = update_fn(u, beta, ctrl, aux)
-                if with_norm:
-                    store_norm(j, u_new)
-                if not boundary_const:
-                    bsum = bsum + jnp.abs(boundary)
-                return u_new, t, bsum
-
-            return body
-
-        def seg(lo, hi, body, carry):
-            # Mosaic fori_loop supports only unroll=1 or full unroll; "full"
-            # inlines the whole segment (trip counts are static here), which
-            # removes the per-sub-step loop overhead that dominates this
-            # kernel (a trivial body times at ~2/3 the cost of the real one).
-            k = (hi - lo) if unroll == "full" else unroll
-            return jax.lax.fori_loop(lo, hi, body, carry, unroll=k)
-
-        def run(body_factory, carry):
-            start = 0
-            for j in norm_positions:  # static segment decomposition
-                if j > start:
-                    carry = seg(start, j, body_factory(False), carry)
-                carry = body_factory(True)(j, carry)
-                start = j + 1
-            if S > start:
-                carry = seg(start, S, body_factory(False), carry)
-            return carry
-
-        def fast(carry):
-            u, t, bsum = run(make_fast_body, carry)
-            if boundary_const:
-                bsum = bsum + S * jnp.abs(ctrl)
-            return u, t + S, bsum
-
-        def masked(carry):
-            return run(make_body, carry)
-
-        all_active = jnp.all(t0 + S <= nt - 1)
-        carry = (u0, t0, jnp.zeros_like(ctrl))
-        u, t, bsum = jax.lax.cond(all_active, fast, masked, carry)
-        uo_ref[:] = u
-        bsum_ref[:] = bsum
-        to_ref[:] = t
-
-    @jax.jit
-    def fn(u, beta, ctrl, t0):
-        B = u.shape[0]
-        # largest power-of-two tile <= tile_b that divides B
-        tb = next(t for t in (tile_b, 256, 128, 64, 32, 16, 8, 4, 2, 1)
-                  if t <= tile_b and B % t == 0)
-        grid = (B // tb,)
-        row_spec = pl.BlockSpec((tb, state_dim), lambda i: (i, 0),
-                                memory_space=pltpu.VMEM)
-        one_spec = pl.BlockSpec((tb, 1), lambda i: (i, 0),
-                                memory_space=pltpu.VMEM)
-        norm_spec = pl.BlockSpec((Wp, tb), lambda i: (0, i),
-                                 memory_space=pltpu.VMEM)
-        u_out, norms_t, bsum, t_out = pl.pallas_call(
-            kernel,
-            grid=grid,
-            in_specs=[row_spec, row_spec, one_spec, one_spec],
-            out_specs=[row_spec, norm_spec, one_spec, one_spec],
-            out_shape=[
-                jax.ShapeDtypeStruct((B, state_dim), u.dtype),
-                jax.ShapeDtypeStruct((Wp, B), u.dtype),
-                jax.ShapeDtypeStruct((B, 1), u.dtype),
-                jax.ShapeDtypeStruct((B, 1), jnp.int32),
-            ],
-            interpret=interpret,
-        )(u, beta, ctrl, t0)
-        return u_out, norms_t.T, bsum, t_out
-
-    return fn
 
 
 def make_interval_fn_t(
@@ -203,17 +49,18 @@ def make_interval_fn_t(
     — the PDE axis on SUBLANES, envs on LANES — and the state lives in a
     padded VMEM scratch mutated in place by ``update_fn``.
 
-    Why a second layout: in the lane layout the stencil neighbor reads are
+    Why transposed: with envs on sublanes the stencil neighbor reads are
     full-width lane rotations and the boundary writes are full-width lane
-    selects. Here the neighbor read is an offset sublane slice of the scratch
-    (``us[1:nx+1]`` vs ``us[0:nx]``) and each boundary write is a 1-row store
-    — measured 1.28x the lane skeleton for the Burgers flux-form body
-    (min-of-5 timing, one process: 384M -> 493M sub-steps/s at 4096x256).
+    selects (a lane-layout kernel skeleton measured 1.28x slower on the
+    Burgers flux-form body: 384M vs 493M sub-steps/s at 4096x256, min-of-5
+    in one process — it was removed once every env switched). Here the
+    neighbor read is an offset sublane slice of the scratch (``us[1:nx+1]``
+    vs ``us[0:nx]``) and each boundary write is a 1-row store.
 
     ``update_fn(us, beta_ref, ctrl, aux) -> boundary`` performs ONE sub-step
     in place on ``us[0:state_dim, :]`` (rows state_dim..state_dim+7 are
     zeroed padding so an offset-by-one slice stays in bounds) and returns the
-    ``(1, tb)`` boundary row. Same external contract as ``make_interval_fn``:
+    ``(1, tb)`` boundary row. External contract:
     ``fn(u, beta, ctrl, t0) -> (u_out, norms_win, bsum_add, t_out)`` with
     ``u`` in the usual ``(B, state_dim)`` layout (transposes at the interval
     boundary are ~1% of interval cost).
@@ -317,10 +164,11 @@ def make_interval_fn_t(
     def fn(u, beta, ctrl, t0):
         B, Ds = u.shape
         if interpret:
-            tb, Bp = min(B, tile_b), B
+            tb = min(B, tile_b)
         else:
             tb = tile_b if (tile_b % 128 == 0 and B % tile_b == 0) else 128
-            Bp = -(-B // tb) * tb  # lane blocks must be 128-aligned; pad
+        Bp = -(-B // tb) * tb  # pad so the grid covers the whole batch
+        # (lane blocks must also be 128-aligned on real TPUs)
         if beta_transform is not None:
             # hoist loop-invariant scaling (e.g. dt·beta) out of the kernel
             beta = beta_transform(beta)
@@ -354,109 +202,7 @@ def make_interval_fn_t(
     return fn
 
 
-# -- per-PDE row updates (row-parallel forms of the envs' _advance) ----------
-
-
-def _broadcast_lane(x, idx):
-    """Broadcast lane ``idx`` of each row across the full row: a lane slice +
-    broadcast is cheaper than a full-width roll when only one column is
-    needed (the Burgers left-outflow copy)."""
-    return jnp.broadcast_to(x[:, idx: idx + 1], x.shape)
-
-
-def transport_update(dt: float, dx: float, nx: int):
-    """Upwind transport row update (envs/transport.py semantics): boundary
-    column nx-1 is the pre-resolved control value (constant over the interval
-    — the Neumann neighbor quirk reads a zero), interior is the upwind step."""
-
-    def make_aux(shape):
-        col = _col_iota(shape)
-        return {"right": col == nx - 1}
-
-    def update(u, beta, ctrl, aux):
-        up = _roll(u, -1, 1)  # u[:, i+1]; wrap lands on the boundary col
-        interior = u + dt * ((up - u) / dx + u[:, 0:1] * beta)
-        u_new = jnp.where(aux["right"], ctrl, interior)
-        return u_new, ctrl
-
-    update.make_aux = make_aux
-    update.boundary_const = True
-    return update
-
-
-def reaction_diffusion_update(dt: float, dx: float, state_dim: int,
-                              neumann: bool):
-    """FTCS row update (envs/reaction_diffusion.py): u[0]=0, boundary from the
-    PREVIOUS row's [-2] for Neumann control (parabolic.py:148-150)."""
-    F = dt / dx**2
-    n = state_dim
-
-    def make_aux(shape):
-        col = _col_iota(shape)
-        return {"left": col == 0, "right": col == n - 1}
-
-    def update(u, beta, ctrl, aux):
-        um = _roll(u, 1, 1)
-        up = _roll(u, -1, 1)
-        interior = u + F * (um - 2.0 * u + up) + dt * beta * u
-        if neumann:
-            boundary = ctrl * dx + u[:, n - 2 : n - 1]
-        else:
-            boundary = ctrl
-        u_new = jnp.where(
-            aux["left"], 0.0, jnp.where(aux["right"], boundary, interior)
-        )
-        return u_new, boundary
-
-    update.make_aux = make_aux
-    update.boundary_const = not neumann
-    return update
-
-
-def burgers_update(dt: float, dx: float, nx: int, viscosity: float,
-                   neumann: bool, flux: str = "godunov"):
-    """Flux-form row update (envs/burgers.py): zero-gradient left outflow,
-    controlled right boundary. Viscous term folded into the face flux (see
-    envs/burgers.py:_advance). All scheme constants (dt/dx, the 0.5/0.25
-    flux factors, ν/dx) are pre-folded into the face flux so the hot body
-    spends no vector issues on scaling: ``u_new = u - (F'_r - F'_l)`` with
-    ``F' = (dt/dx)·F``. The default Godunov flux (exact Riemann for u²/2,
-    ``F = max(f(max(ul,0)), f(min(ur,0)))``) is ~4 vector ops cheaper per
-    sub-step than Rusanov — no |u|/face-speed chain."""
-    dtdx = dt / dx
-    nu_scaled = dtdx * (viscosity / dx) if viscosity else 0.0
-
-    def make_aux(shape):
-        col = _col_iota(shape)
-        return {"left": col == 0, "right": col == nx - 1}
-
-    def update(u, beta, ctrl, aux):
-        up = _roll(u, -1, 1)
-        # dtdx-scaled face flux to the right of cell i (valid for i < nx-1)
-        if flux == "godunov":
-            # max(f(max(ul,0)), f(min(ur,0))) = f(max(ul, -ur, 0)) for convex
-            # f with f(-x)=f(x): one vector op fewer than the two-squares form
-            m = jnp.maximum(jnp.maximum(u, -up), 0.0)
-            flux_r = (0.5 * dtdx) * (m * m)
-        else:  # rusanov
-            coef = (0.5 * dtdx) * jnp.maximum(jnp.abs(u), jnp.abs(up))
-            flux_r = (0.25 * dtdx) * (u * u + up * up) - coef * (up - u)
-        if nu_scaled:
-            flux_r = flux_r - nu_scaled * (up - u)
-        flux_l = _roll(flux_r, 1, 1)
-        interior = u - (flux_r - flux_l)
-        if neumann:
-            boundary = ctrl * dx + u[:, nx - 2 : nx - 1]
-        else:
-            boundary = ctrl
-        u_new = jnp.where(aux["right"], boundary, interior)
-        # left outflow copies the NEW value at column 1
-        u_new = jnp.where(aux["left"], _broadcast_lane(u_new, 1), u_new)
-        return u_new, boundary
-
-    update.make_aux = make_aux
-    update.boundary_const = not neumann
-    return update
+# -- per-PDE transposed in-place sub-steps (row-parallel _advance forms) -----
 
 
 def burgers_update_t(dt: float, dx: float, nx: int, viscosity: float,
@@ -503,9 +249,10 @@ def burgers_update_t(dt: float, dx: float, nx: int, viscosity: float,
 
 
 def transport_update_t(dt: float, dx: float, nx: int):
-    """Transposed in-place transport sub-step (same semantics as
-    ``transport_update``): boundary row nx-1 is the pre-resolved control
-    value, interior is the upwind step. The upwind stencil only reads the
+    """Transposed in-place transport sub-step (envs/transport.py semantics):
+    boundary row nx-1 is the pre-resolved control value (constant over the
+    interval — the Neumann neighbor quirk reads a zero), interior is the
+    upwind step. The upwind stencil only reads the
     +1 neighbor, so the zero pad rows stay zero (beta pads are zero).
     The expression keeps the XLA path's exact association
     (``u + dt*((up-u)/dx + u0*beta)``) so the two backends match bitwise."""
@@ -527,9 +274,9 @@ def transport_update_t(dt: float, dx: float, nx: int):
 
 def reaction_diffusion_update_t(dt: float, dx: float, state_dim: int,
                                 neumann: bool):
-    """Transposed in-place FTCS sub-step (same semantics as
-    ``reaction_diffusion_update``): u[0]=0 fixed BC, boundary from the
-    PREVIOUS state's [-2] for Neumann control (parabolic.py:148-150)."""
+    """Transposed in-place FTCS sub-step (envs/reaction_diffusion.py
+    semantics): u[0]=0 fixed BC, boundary from the PREVIOUS state's [-2]
+    for Neumann control (parabolic.py:148-150)."""
     F = dt / dx**2
     n = state_dim
     dp = _pad8(n)

@@ -156,10 +156,13 @@ def direct_pressure(u, v, p0, dx, dy, dt, density, basis):
         (u[..., 1:-1, 2:] - u[..., 1:-1, :-2]) / (2.0 * dx)
         + (v[..., 2:, 1:-1] - v[..., :-2, 1:-1]) / (2.0 * dy)
     )
-    # spectral transform: T = Qyᵀ @ G @ Qx  (batched over leading axes)
-    t = jnp.einsum("im,...ij,jn->...mn", qy, g, qx)
+    # spectral transform: T = Qyᵀ @ G @ Qx  (batched over leading axes).
+    # precision="highest": default MXU matmuls truncate f32 to bf16 passes
+    # (~1e-3 relative), defeating the "exact spectral solve" contract; full
+    # precision costs 3 passes per matmul — still ~3 orders under 2000 sweeps
+    t = jnp.einsum("im,...ij,jn->...mn", qy, g, qx, precision="highest")
     t = t * inv  # per-mode inverse eigenvalue; (0,0) null mode -> 0
-    p_int = jnp.einsum("im,...mn,jn->...ij", qy, t, qx)
+    p_int = jnp.einsum("im,...mn,jn->...ij", qy, t, qx, precision="highest")
     # embed with the reference's mirror ring (sequential copy order so the
     # corner values match what a converged Jacobi sweep leaves behind)
     p = jnp.zeros_like(u)

@@ -141,10 +141,13 @@ def cfl_report(config: Any, verbose: bool = False):
     if hasattr(config, "dy"):  # NavierStokesConfig
         dx, dy = float(config.dx), float(config.dy)
         nu = float(config.viscosity)
-        bound = float(getattr(config, "stable_factor", 0.5)) * 0.5 * min(dx, dy) ** 2 / nu
+        # dimensionless diffusion number vs its bound (sf·0.5), so the
+        # printed value IS the named quantity
+        diff_num = dt * nu / min(dx, dy) ** 2
+        bound = float(getattr(config, "stable_factor", 0.5)) * 0.5
         findings.append(StabilityFinding(
-            "NS diffusion number dt·ν/min(dx,dy)²", dt, bound,
-            dt <= bound,
+            "NS diffusion number dt·ν/min(dx,dy)²", diff_num, bound,
+            diff_num <= bound,
             "reduce dt or viscosity (reference guard navier_stokes2D.py:56-58)",
         ))
     elif hasattr(config, "dx"):
@@ -159,9 +162,9 @@ def cfl_report(config: Any, verbose: bool = False):
                 ))
             # advective CFL depends on max|u| ≈ max_control_value
             umax = float(getattr(config, "max_control_value", 1.0)) or 1.0
-            bound = dx / umax
+            cfl = dt * umax / dx
             findings.append(StabilityFinding(
-                "Burgers advective CFL dt·max|u|/dx", dt, bound, dt <= bound,
+                "Burgers advective CFL dt·max|u|/dx", cfl, 1.0, cfl <= 1.0,
                 f"assumes max|u|≈{umax}; reduce dt if states exceed it",
             ))
         elif "ReactionDiffusion" in name:

@@ -1,5 +1,7 @@
 """Regression tests for code-review findings."""
 
+import dataclasses
+
 import numpy as np
 import pytest
 
@@ -24,6 +26,32 @@ def test_pallas_handles_non_multiple_batch():
     state, obs = jax.vmap(env.init)(keys)
     state, out = jax.jit(lambda s, a: env.step_batch(s, a))(state, jnp.zeros(B))
     assert out.obs.shape == (B, 128)
+
+
+def test_pallas_interpret_batch_not_multiple_of_tile():
+    # round-2 review: the interpret branch floor-divided the grid (B // tb)
+    # without padding, silently never computing envs beyond tb*floor(B/tb) —
+    # B=200 left envs 128..199 as NaN/garbage while XLA returned finite
+    cfg = Boundary1DConfig(T=0.02, dt=1e-4, X=1.0, dx=1.0 / 128,
+                           control_sample_rate=0.01, backend="pallas")
+    env = TransportEnv(cfg, TunedReward1D(200, lookback=5))
+    B = 200  # not a multiple of the 128 tile
+    keys = jax.random.split(jax.random.key(0), B)
+    state, obs = jax.vmap(env.init)(keys)
+    state, out = jax.jit(lambda s, a: env.step_batch(s, a))(
+        state, jnp.full((B,), 0.3))
+
+    xcfg = dataclasses.replace(cfg, backend="xla")
+    xenv = TransportEnv(xcfg, TunedReward1D(200, lookback=5))
+    xstate, _ = jax.vmap(xenv.init)(keys)
+    xstate, xout = jax.jit(lambda s, a: xenv.step_batch(s, a))(
+        xstate, jnp.full((B,), 0.3))
+
+    assert np.all(np.isfinite(np.asarray(out.obs)))
+    np.testing.assert_allclose(np.asarray(out.obs), np.asarray(xout.obs),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out.reward),
+                               np.asarray(xout.reward), rtol=1e-5, atol=1e-5)
 
 
 def test_traffic_non_divisible_grid_shapes_consistent():
