@@ -1,0 +1,100 @@
+"""Throughput for the remaining env families: traffic ARZ, neuron, brain tumor.
+
+``bench.py`` covers the BASELINE configs (transport + Burgers); this harness
+measures the other three families so every environment has a perf row
+(docs/PERFORMANCE.md). Each rollout is one jitted program (policy + step,
+vmapped over the env batch, in-kernel autoreset); timing is min-of-``repeats``
+with a device-scalar host readback (tunnel-safe, see utils/profiling).
+
+One JSON line per family:
+    {"env": ..., "envs": B, "value": N, "unit": "env-steps/s"}
+
+Step semantics differ per family (matching the reference):
+- traffic: one RL step = one Richtmyer PDE step (``traffic_arz_env.py``
+  steps the PDE once per action).
+- neuron: one step = one dt of the moving-boundary DPR solve; the control is
+  the embedded backstepping law (action ignored), float32 on TPU.
+- brain_tumor: one step = one day (DPR PDE + BED dose); constant mid-range
+  dose fraction.
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def _measure(env, policy, num_envs, num_steps, repeats):
+    from pdecontrolgym_tpu.parallel.rollout import rollout
+
+    run = jax.jit(lambda key: rollout(
+        env, policy, num_envs, num_steps, key)[1].reward.sum())
+    t0 = time.time()
+    float(np.asarray(run(jax.random.key(0))))
+    compile_s = time.time() - t0
+    best = float("inf")
+    for i in range(repeats):
+        t0 = time.perf_counter()
+        float(np.asarray(run(jax.random.key(i + 1))))
+        best = min(best, time.perf_counter() - t0)
+    return num_envs * num_steps / best, compile_s
+
+
+def bench_traffic(num_envs, repeats, steps=None):
+    from pdecontrolgym_tpu.envs.traffic_arz import TrafficARZConfig, TrafficARZEnv
+    from pdecontrolgym_tpu.rewards.traffic import TrafficARZReward
+
+    cfg = TrafficARZConfig(simulation_type="outlet")
+    env = TrafficARZEnv(cfg, TrafficARZReward())
+    mid = jnp.asarray(0.5 * (env.action_low + env.action_high))
+
+    def policy(obs, _key):
+        return jnp.full(obs.shape[:-1], mid)
+
+    return _measure(env, policy, num_envs, steps or 960, repeats)
+
+
+def bench_neuron(num_envs, repeats, steps=None):
+    from pdecontrolgym_tpu.envs.neuron import NeuronConfig, NeuronEnv
+
+    cfg = NeuronConfig(dtype=jnp.float32)  # f64 unavailable on TPU
+    env = NeuronEnv(cfg)
+    policy = lambda obs, _key: jnp.zeros(obs.shape[:-1])  # action ignored
+    return _measure(env, policy, num_envs, steps or 1000, repeats)
+
+
+def bench_brain_tumor(num_envs, repeats, steps=None):
+    from pdecontrolgym_tpu.envs.brain_tumor import BrainTumorConfig, BrainTumorEnv
+    from pdecontrolgym_tpu.rewards.brain_tumor import BrainTumorReward
+
+    cfg = BrainTumorConfig()
+    env = BrainTumorEnv(cfg, BrainTumorReward())
+    policy = lambda obs, _key: jnp.full(obs.shape[:-1], 0.5)
+    return _measure(env, policy, num_envs, steps or 365, repeats)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--envs", type=int, default=4096)
+    ap.add_argument("--repeats", type=int, default=5)
+    ap.add_argument("--steps", type=int, default=None,
+                    help="override steps per rollout (smoke tests)")
+    ap.add_argument("--families", default="traffic,neuron,brain_tumor")
+    args = ap.parse_args()
+
+    fns = {"traffic": bench_traffic, "neuron": bench_neuron,
+           "brain_tumor": bench_brain_tumor}
+    for name in filter(None, args.families.split(",")):
+        rate, compile_s = fns[name](args.envs, args.repeats, args.steps)
+        print(json.dumps({
+            "env": name, "envs": args.envs, "value": round(rate),
+            "unit": "env-steps/s", "compile_s": round(compile_s, 1),
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

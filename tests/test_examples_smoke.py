@@ -71,6 +71,18 @@ def test_bench_scaling_smoke(capsys):
     assert rows[1]["value"] > 0
 
 
+def test_bench_families_smoke(capsys):
+    """Per-family throughput harness emits one JSON line per family."""
+    import json
+
+    _run("bench_families.py",
+         ["--envs", "8", "--repeats", "1", "--steps", "3"])
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    rows = [json.loads(l) for l in lines]
+    assert [r["env"] for r in rows] == ["traffic", "neuron", "brain_tumor"]
+    assert all(r["value"] > 0 for r in rows)
+
+
 def test_eval_compare_ns_smoke(capsys):
     """NS quality-matrix script: trains tiny PPO+SAC on the tracking task and
     prints the comparison table (constant-lid must beat zero)."""
