@@ -23,6 +23,15 @@ def main():
     ap.add_argument("--episodes", type=int, default=50)
     ap.add_argument("--ppo-iters", type=int, default=150)
     ap.add_argument("--sac-iters", type=int, default=0)
+    ap.add_argument("--eval-every", type=int, default=0,
+                    help=">0: eval-selected checkpoints (PPOTrainer.train "
+                         "eval_fn) every N iters")
+    ap.add_argument("--eval-episodes", type=int, default=50)
+    ap.add_argument("--anneal", type=int, default=0,
+                    help=">0: linearly anneal PPO lr to 0 over this many iters")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--save-params", default=None,
+                    help="directory for transport_ppo.msgpack / _sac.msgpack")
     args = ap.parse_args()
 
     import dataclasses
@@ -55,18 +64,40 @@ def main():
     results = compare_controllers(env, controllers, num_episodes=args.episodes,
                                   max_steps=50)
 
+    def eval_fn_for(policy_of_params):
+        def eval_fn(params):
+            r = compare_controllers(
+                env_rl, {"c": policy_of_params(params)},
+                num_episodes=args.eval_episodes, max_steps=50,
+                key=jax.random.key(7),
+            )
+            return r["c"]["mean_return"]
+
+        return eval_fn
+
+    log = lambda tag: (lambda it, m: print(
+        f"  {tag} iter {it}: mean {m['mean_reward']:+.3f}"
+        + (f"  eval {m['eval']:+.2f} (best {m['best_eval']:+.2f})"
+           if "eval" in m else ""), flush=True))
+
     if args.ppo_iters > 0:
         trainer = PPOTrainer(env_rl, PPOConfig(num_envs=512, num_steps=50, gamma=0.999,
                                                num_minibatches=8, ent_coef=1e-3,
-                                               reward_scale=0.02, obs_clip=50.0))
-        runner = trainer.train(jax.random.key(0), args.ppo_iters, log_every=50,
-                               callback=lambda it, m: print(
-                                   f"  ppo iter {it}: {m['mean_reward']:+.3f}",
-                                   flush=True))
+                                               reward_scale=0.02, obs_clip=50.0,
+                                               anneal_lr_iters=args.anneal))
+        runner = trainer.train(
+            jax.random.key(args.seed), args.ppo_iters, log_every=50,
+            eval_fn=eval_fn_for(trainer.policy) if args.eval_every else None,
+            eval_every=args.eval_every or 25, callback=log("ppo"))
         results.update(compare_controllers(
             env_rl, {"ppo": trainer.policy(runner.params)},
             num_episodes=args.episodes, max_steps=50,
         ))
+        if args.save_params:
+            from pdecontrolgym_tpu.utils import save_params
+
+            save_params(f"{args.save_params}/transport_ppo.msgpack",
+                        runner.params)
 
     if args.sac_iters > 0:
         from pdecontrolgym_tpu.agents.sac import SACConfig, SACTrainer
@@ -77,16 +108,19 @@ def main():
                                            batch_size=512, steps_per_iter=2,
                                            updates_per_iter=32, gamma=0.999,
                                            init_alpha=0.05))
-        srunner = sac.init(jax.random.key(1))
-        sstep = sac.make_train_step()
-        for it in range(args.sac_iters):
-            srunner, m = sstep(srunner)
-            if it % 100 == 0:
-                print(f"  sac iter {it}: {float(m['mean_reward']):+.3f}", flush=True)
+        srunner = sac.train(
+            jax.random.key(args.seed + 1), args.sac_iters, log_every=100,
+            eval_fn=eval_fn_for(sac.policy) if args.eval_every else None,
+            eval_every=args.eval_every or 100, callback=log("sac"))
         results.update(compare_controllers(
             env_rl, {"sac": sac.policy(srunner.actor_params)},
             num_episodes=args.episodes, max_steps=50,
         ))
+        if args.save_params:
+            from pdecontrolgym_tpu.utils import save_params
+
+            save_params(f"{args.save_params}/transport_sac.msgpack",
+                        srunner.actor_params)
     print(f"\n{'controller':>14} | {'mean return':>12} | {'std':>8}")
     for name, r in sorted(results.items(), key=lambda kv: -kv[1]["mean_return"]):
         print(f"{name:>14} | {r['mean_return']:12.2f} | {r['std_return']:8.2f}")
