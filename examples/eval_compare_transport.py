@@ -29,6 +29,11 @@ def main():
     ap.add_argument("--eval-episodes", type=int, default=50)
     ap.add_argument("--anneal", type=int, default=0,
                     help=">0: linearly anneal PPO lr to 0 over this many iters")
+    # recipe hunt (round 2): gamma=0.99 + lr=1e-3 crosses the terminal-bonus
+    # cliff by ~iter 120 and reaches backstepping-level returns; the old
+    # defaults (gamma=0.999, lr=3e-4) plateau near +15 without the bonus
+    ap.add_argument("--gamma", type=float, default=0.99)
+    ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--save-params", default=None,
                     help="directory for transport_ppo.msgpack / _sac.msgpack")
@@ -81,7 +86,8 @@ def main():
            if "eval" in m else ""), flush=True))
 
     if args.ppo_iters > 0:
-        trainer = PPOTrainer(env_rl, PPOConfig(num_envs=512, num_steps=50, gamma=0.999,
+        trainer = PPOTrainer(env_rl, PPOConfig(num_envs=512, num_steps=50,
+                                               gamma=args.gamma, lr=args.lr,
                                                num_minibatches=8, ent_coef=1e-3,
                                                reward_scale=0.02, obs_clip=50.0,
                                                anneal_lr_iters=args.anneal))

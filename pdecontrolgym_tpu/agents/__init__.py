@@ -6,11 +6,14 @@ from pdecontrolgym_tpu.agents.backstepping import (
 )
 from pdecontrolgym_tpu.agents.networks import ActorCritic
 from pdecontrolgym_tpu.agents.ppo import PPOConfig, PPOTrainer
+from pdecontrolgym_tpu.agents.sac import SACConfig, SACTrainer
 
 __all__ = [
     "ActorCritic",
     "PPOConfig",
     "PPOTrainer",
+    "SACConfig",
+    "SACTrainer",
     "parabolic_control",
     "parabolic_kernel",
     "transport_control",

@@ -1,3 +1,8 @@
+from pdecontrolgym_tpu.envs.brain_tumor import (
+    BrainTumorConfig,
+    BrainTumorEnv,
+    TherapyEnv,
+)
 from pdecontrolgym_tpu.envs.burgers import BurgersConfig, BurgersEnv
 from pdecontrolgym_tpu.envs.common import Boundary1DConfig, Boundary1DEnv, Boundary1DState
 from pdecontrolgym_tpu.envs.navier_stokes import (
@@ -5,6 +10,7 @@ from pdecontrolgym_tpu.envs.navier_stokes import (
     NavierStokesEnv,
     freeze_boundary_condition,
 )
+from pdecontrolgym_tpu.envs.neuron import NeuronConfig, NeuronEnv
 from pdecontrolgym_tpu.envs.reaction_diffusion import (
     ReactionDiffusionConfig,
     ReactionDiffusionEnv,
@@ -21,6 +27,11 @@ __all__ = [
     "FlatObsEnv",
     "TanhBoxActionEnv",
     "TransformObsEnv",
+    "BrainTumorConfig",
+    "BrainTumorEnv",
+    "NeuronConfig",
+    "NeuronEnv",
+    "TherapyEnv",
     "Boundary1DConfig",
     "Boundary1DEnv",
     "Boundary1DState",

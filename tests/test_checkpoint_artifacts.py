@@ -74,6 +74,37 @@ def test_rd_sac_checkpoint_controls():
     assert r["sac"]["mean_return"] > 230.0
 
 
+def _transport_env(normalize=True):
+    import dataclasses
+
+    from pdecontrolgym_tpu.envs.common import Boundary1DConfig
+    from pdecontrolgym_tpu.envs.transport import TransportEnv
+    from pdecontrolgym_tpu.rewards.tuned import TunedReward1D
+
+    cfg = Boundary1DConfig(
+        T=5.0, dt=1e-4, X=1.0, dx=1e-2, control_sample_rate=0.1,
+        normalize=normalize, limit_pde_state_size=True, max_state_value=1e10,
+        max_control_value=20.0,
+    )
+    return TransportEnv(cfg, TunedReward1D(int(round(cfg.T / cfg.dt)),
+                                           -1e3, 3e2))
+
+
+def test_transport_ppo_checkpoint_beats_backstepping_floor():
+    from pdecontrolgym_tpu.agents.ppo import PPOConfig, PPOTrainer
+    from pdecontrolgym_tpu.eval import compare_controllers
+
+    env = _transport_env()
+    trainer = PPOTrainer(env, PPOConfig())
+    template = trainer.net.init(jax.random.key(0), jnp.zeros((1, env.obs_dim)))
+    params = _load("transport_ppo.msgpack", template)
+    r = compare_controllers(env, {"ppo": trainer.policy(params)},
+                            num_episodes=4, max_steps=50)
+    # TPU 50-episode mean: 249.89 (backstepping: 243.40; the pre-recipe
+    # plateau without the terminal bonus: ~15)
+    assert r["ppo"]["mean_return"] > 200.0
+
+
 def test_traffic_ppo_checkpoint_beats_uncontrolled():
     from pdecontrolgym_tpu.agents.ppo import PPOConfig, PPOTrainer
     from pdecontrolgym_tpu.envs import TanhBoxActionEnv, TransformObsEnv
