@@ -34,6 +34,10 @@ def main():
     # defaults (gamma=0.999, lr=3e-4) plateau near +15 without the bonus
     ap.add_argument("--gamma", type=float, default=0.99)
     ap.add_argument("--lr", type=float, default=1e-3)
+    # same sweep for SAC: gamma=0.99 + lr=1e-3 reaches ~213 by iter 800
+    # (old gamma=0.999 recipe plateaus at +2; reward_scale=0.02 kills it)
+    ap.add_argument("--sac-gamma", type=float, default=0.99)
+    ap.add_argument("--sac-lr", type=float, default=1e-3)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--save-params", default=None,
                     help="directory for transport_ppo.msgpack / _sac.msgpack")
@@ -112,7 +116,9 @@ def main():
         # (2500 iters x 32 updates ~ 80K updates -> mean return ~230)
         sac = SACTrainer(env_rl, SACConfig(num_envs=64, buffer_size=400_000,
                                            batch_size=512, steps_per_iter=2,
-                                           updates_per_iter=32, gamma=0.999,
+                                           updates_per_iter=32,
+                                           gamma=args.sac_gamma,
+                                           lr=args.sac_lr,
                                            init_alpha=0.05))
         srunner = sac.train(
             jax.random.key(args.seed + 1), args.sac_iters, log_every=100,

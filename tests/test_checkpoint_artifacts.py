@@ -105,6 +105,20 @@ def test_transport_ppo_checkpoint_beats_backstepping_floor():
     assert r["ppo"]["mean_return"] > 200.0
 
 
+def test_transport_sac_checkpoint_controls():
+    from pdecontrolgym_tpu.agents.sac import SACConfig, SACTrainer
+    from pdecontrolgym_tpu.eval import compare_controllers
+
+    env = _transport_env()
+    trainer = SACTrainer(env, SACConfig())
+    template = trainer.actor.init(jax.random.key(0), jnp.zeros((1, env.obs_dim)))
+    params = _load("transport_sac.msgpack", template)
+    r = compare_controllers(env, {"sac": trainer.policy(params)},
+                            num_episodes=4, max_steps=50)
+    # TPU 50-episode mean: 221.85 (reference published SAC: 179.90)
+    assert r["sac"]["mean_return"] > 170.0
+
+
 def test_traffic_ppo_checkpoint_beats_uncontrolled():
     from pdecontrolgym_tpu.agents.ppo import PPOConfig, PPOTrainer
     from pdecontrolgym_tpu.envs import TanhBoxActionEnv, TransformObsEnv
@@ -139,3 +153,78 @@ def test_traffic_ppo_checkpoint_beats_uncontrolled():
     # TPU run: -204.57 (backstepping: -263.17); an untrained/zero outlet
     # policy diverges far below -1000
     assert total > -350.0
+
+
+def _ns_env():
+    from pdecontrolgym_tpu.envs import FlatObsEnv, NavierStokesConfig, NavierStokesEnv
+    from pdecontrolgym_tpu.envs.navier_stokes import (
+        freeze_boundary_condition,
+        make_lid_target,
+    )
+    from pdecontrolgym_tpu.rewards.ns import NSReward
+
+    bc = freeze_boundary_condition({
+        "upper": ["Controllable", "Dirchilet"],
+        "lower": ["Dirchilet", "Dirchilet"],
+        "left": ["Dirchilet", "Dirchilet"],
+        "right": ["Dirchilet", "Dirchilet"],
+    })
+    cfg = NavierStokesConfig(
+        T=0.2, dt=1e-3, X=1.0, dx=0.05, Y=1.0, dy=0.05,
+        boundary_condition=bc, dtype=jnp.float32, pressure_solver="direct",
+    )
+    U_ref, action_ref = make_lid_target(cfg, lid=2.0)
+    return FlatObsEnv(NavierStokesEnv(cfg, NSReward(0.1), U_ref, action_ref))
+
+
+def test_ns_ppo_checkpoint_tracks_lid():
+    from pdecontrolgym_tpu.agents.ppo import PPOConfig, PPOTrainer
+    from pdecontrolgym_tpu.eval import compare_controllers
+
+    env = _ns_env()
+    trainer = PPOTrainer(env, PPOConfig())
+    _, obs0 = env.init(jax.random.key(0))
+    template = trainer.net.init(jax.random.key(0), obs0[None])
+    params = _load("ns_ppo.msgpack", template)
+    r = compare_controllers(env, {"ppo": trainer.policy(params)},
+                            num_episodes=4, max_steps=200)
+    # TPU 50-episode mean: -5.40 (constant-lid oracle: -5.16, zero: -70.28)
+    assert r["ppo"]["mean_return"] > -20.0
+
+
+def test_brain_tumor_ppo_checkpoint_extends_survival():
+    from pdecontrolgym_tpu.agents.ppo import PPOConfig, PPOTrainer
+    from pdecontrolgym_tpu.envs import BrainTumorEnv, TherapyEnv
+    from pdecontrolgym_tpu.envs.brain_tumor import BrainTumorConfig
+    from pdecontrolgym_tpu.rewards.brain_tumor import BrainTumorReward
+
+    cfg = BrainTumorConfig(total_dosage=61.2)
+    base = BrainTumorEnv(cfg, BrainTumorReward())
+    tb = int(jax.jit(TherapyEnv(base).benchmark)(jax.random.key(0)))
+
+    # the example's DoseActionTherapyEnv wiring (train_ppo_brain_tumor.py)
+    class DoseEnv(TherapyEnv):
+        def init(self, key, t_benchmark=None):
+            state, obs = super().init(key, t_benchmark)
+            return state, obs / self.config.k
+
+        def step(self, state, action, key=None):
+            dose = jnp.clip((jnp.asarray(action) + 1.0) / 2.0, 0.0, 1.0)
+            state, out = super().step(state, dose, key)
+            return state, out.replace(obs=out.obs / self.config.k)
+
+    env = DoseEnv(base, t_benchmark=tb)
+    trainer = PPOTrainer(env, PPOConfig())
+    template = trainer.net.init(jax.random.key(0), jnp.zeros((1, env.obs_dim)))
+    params = _load("brain_tumor_ppo.msgpack", template)
+    policy = trainer.policy(params)
+
+    state, obs = env.init(jax.random.key(42))
+    stepf = jax.jit(env.step)
+    done = False
+    while not done:
+        state, out = stepf(state, policy(obs[None])[0])
+        obs = out.obs
+        done = bool(out.terminated) or bool(out.truncated)
+    # TPU run: +73 days vs untreated; fixed protocols reach +67/+68
+    assert int(state.simulation_days) - tb > 40
