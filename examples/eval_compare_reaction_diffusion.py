@@ -47,6 +47,7 @@ def main():
     # final eval, seed 0 — the differential reward is near-Markovian per
     # control interval, so the shorter horizon just cuts gradient variance
     ap.add_argument("--gamma", type=float, default=0.99)
+    ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--hidden", type=int, default=128)
     ap.add_argument("--ent-coef", type=float, default=1e-3)
     ap.add_argument("--seed", type=int, default=0)
@@ -95,6 +96,7 @@ def main():
         trainer = PPOTrainer(
             env_rl,
             PPOConfig(num_envs=256, num_steps=250, gamma=args.gamma,
+                      lr=args.lr,
                       num_minibatches=16, ent_coef=args.ent_coef,
                       hidden=(args.hidden, args.hidden),
                       reward_scale=0.02, obs_clip=50.0,
