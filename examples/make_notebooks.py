@@ -106,6 +106,80 @@ returns = outs.reward.sum(0)
 print(f"mean return over 256 episodes: {float(returns.mean()):.2f} "
       f"(published reference backstepping average: 243.06)")
 """),
+    ("md", """
+## Trained RL policies
+
+PPO and SAC trained fully on-device (`examples/eval_compare_transport.py`,
+recipe gamma=0.99 + lr=1e-3 with eval-selected checkpoints), parameters
+restored from `examples/checkpoints/`. Reference published (cells 14-15):
+PPO **189.98**, SAC **179.90**; the reference's backstepping average is
+**243.06** — the learned PPO policy beats it.
+"""),
+    ("code", """
+import dataclasses, os
+from pdecontrolgym_tpu.agents.ppo import PPOConfig, PPOTrainer
+from pdecontrolgym_tpu.agents.sac import SACConfig, SACTrainer
+from pdecontrolgym_tpu.eval import compare_controllers
+from pdecontrolgym_tpu.utils import load_params
+
+env_rl = TransportEnv(dataclasses.replace(cfg, normalize=True,
+                                          max_control_value=20.0),
+                      TunedReward1D(int(round(T / dt)), -1e3, 3e2))
+ckpt = os.path.join(os.getcwd(), "checkpoints")
+
+ppo = PPOTrainer(env_rl, PPOConfig())
+template = ppo.net.init(jax.random.key(0), jnp.zeros((1, env_rl.obs_dim)))
+ppo_params = load_params(f"{ckpt}/transport_ppo.msgpack", template)
+
+sac = SACTrainer(env_rl, SACConfig())
+sac_template = sac.actor.init(jax.random.key(0), jnp.zeros((1, env_rl.obs_dim)))
+sac_params = load_params(f"{ckpt}/transport_sac.msgpack", sac_template)
+
+results = compare_controllers(
+    fenv, {"backstepping": policy, "zero": lambda o, k: jnp.zeros(o.shape[0])},
+    num_episodes=50, max_steps=50)
+rl = compare_controllers(
+    env_rl, {"ppo": ppo.policy(ppo_params), "sac": sac.policy(sac_params)},
+    num_episodes=50, max_steps=50)
+table = {**results, **rl}
+ref = {"ppo": 189.98, "backstepping": 243.06, "sac": 179.90, "zero": None}
+print(f"{'controller':>14} | {'this engine':>11} | {'reference':>9}")
+for name in ("ppo", "backstepping", "sac", "zero"):
+    r = table[name]["mean_return"]
+    rr = f"{ref[name]:9.2f}" if ref[name] is not None else "      --"
+    print(f"{name:>14} | {r:11.2f} | {rr}")
+"""),
+    ("code", """
+# deterministic fixed-IC table (reference cell 22): reward / sum-of-L2 per
+# control step from u(x,0)=1 and u(x,0)=10. Published (bcks/PPO/SAC):
+#   u0=1  -> 289.84/106.09, 244.47/474.52, 217.33/646.76
+#   u0=10 -> 198.38/1060.86, 72.51/1818.50, 146.10/1347.26
+beta_j = jnp.asarray(beta_fn(nx))
+
+def fixed_ic_episode(e, pol, scale):
+    @jax.jit
+    def run():
+        state, obs = e.init_from(jnp.full(nx, scale, jnp.float32), beta_j)
+        def body(carry, _):
+            state, obs = carry
+            state, out = e.step(state, pol(obs))
+            return (state, out.obs), (out.reward, jnp.linalg.norm(out.obs))
+        (_, _), (rews, norms) = jax.lax.scan(body, (state, obs), None, length=50)
+        return rews.sum(), norms.sum()
+    r, l2 = run()
+    return float(r), float(l2)
+
+rows = {
+    "backstepping": (fenv, lambda o: (o @ kernel) * dx),
+    "ppo": (env_rl, lambda o: ppo.policy(ppo_params)(o[None])[0]),
+    "sac": (env_rl, lambda o: sac.policy(sac_params)(o[None])[0]),
+}
+print(f"{'controller':>14} | {'u0':>4} | {'reward':>8} | {'sum L2':>8}")
+for name, (e, pol) in rows.items():
+    for scale in (1.0, 10.0):
+        r, l2 = fixed_ic_episode(e, pol, scale)
+        print(f"{name:>14} | {scale:4.0f} | {r:8.2f} | {l2:8.2f}")
+"""),
 ]
 
 

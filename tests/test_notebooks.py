@@ -74,6 +74,29 @@ def test_transport_golden_values():
     assert m, "batched mean-return line missing"
     # published reference backstepping average is 243.06 (HyperbolicPDEExample)
     assert abs(float(m.group(1)) - 243.06) < 5.0
+    # 3-way RL table (reference cells 13-15: 243.06 / 189.98 / 179.90); the
+    # learned PPO policy beats the analytic backstepping controller
+    assert _table_value(text, "ppo |") > _table_value(text, "backstepping |")
+    assert _table_value(text, "sac |") > 179.90
+
+
+def test_transport_fixed_ic_table():
+    # reference cell 22's deterministic u0=1 / u0=10 rows. Backstepping
+    # reproduces the published rewards to ~2 decimals (289.84 / 198.38);
+    # our RL rows beat the published PPO 244.47 / 72.51 and SAC 217.33 /
+    # 146.10 on both ICs
+    text = _stream_text(_load("TransportPDEExample.ipynb"))
+    rows = {}
+    for line in text.splitlines():
+        cells = [c.strip() for c in line.split("|")]
+        if len(cells) == 4 and cells[0] in ("backstepping", "ppo", "sac"):
+            rows[(cells[0], float(cells[1]))] = (float(cells[2]), float(cells[3]))
+    assert abs(rows[("backstepping", 1.0)][0] - 289.84) < 0.5
+    assert abs(rows[("backstepping", 10.0)][0] - 198.38) < 0.5
+    assert rows[("ppo", 1.0)][0] > 244.47
+    assert rows[("ppo", 10.0)][0] > 72.51
+    assert rows[("sac", 1.0)][0] > 217.33
+    assert rows[("sac", 10.0)][0] > 146.10
 
 
 def test_parabolic_golden_values():
