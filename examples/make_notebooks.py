@@ -271,6 +271,47 @@ for scale in (1.0, 10.0):
     r, l2 = fixed_ic(scale)
     print(f"{scale:8.1f} | {float(r):8.2f} | {float(l2):10.2f}")
 """),
+    ("code", """
+# RL rows of the same fixed-IC table (reference cell 23 publishes
+# bcks/PPO/SAC per IC: u0=1 -> 299.82/1275.44, 294.83/1104.26,
+# 236.04/2018.04 ; u0=10 -> 298.23/12754.40, 283.32/23323.11,
+# 232.75/9700.64). Policies restored below in the RL section's env_rl
+# wiring — defined here after a forward import to keep the table together.
+import dataclasses, os
+from pdecontrolgym_tpu.agents.ppo import PPOConfig, PPOTrainer
+from pdecontrolgym_tpu.agents.sac import SACConfig, SACTrainer
+from pdecontrolgym_tpu.utils import load_params
+
+env_rl = ReactionDiffusionEnv(dataclasses.replace(cfg, normalize=True), reward)
+ckpt = os.path.join(os.getcwd(), "checkpoints")
+ppo = PPOTrainer(env_rl, PPOConfig())
+template = ppo.net.init(jax.random.key(0), jnp.zeros((1, env_rl.obs_dim)))
+ppo_params = load_params(f"{ckpt}/rd_ppo.msgpack", template)
+sac = SACTrainer(env_rl, SACConfig())
+sac_template = sac.actor.init(jax.random.key(0), jnp.zeros((1, env_rl.obs_dim)))
+sac_params = load_params(f"{ckpt}/rd_sac.msgpack", sac_template)
+
+def fixed_ic_rl(pol, scale):
+    @jax.jit
+    def run():
+        state, obs = env_rl.init_from(jnp.full(NX + 1, scale, jnp.float32), beta)
+        def body(carry, _):
+            state, obs = carry
+            state, out = env_rl.step(state, pol(obs[None])[0])
+            return (state, out.obs), (out.reward, jnp.linalg.norm(out.obs))
+        (_, _), (rews, norms) = jax.lax.scan(body, (state, obs), None,
+                                             length=1000)
+        return rews.sum(), norms.sum()
+    r, l2 = run()
+    return float(r), float(l2)
+
+print(f"{'controller':>12} | {'u0':>4} | {'reward':>8} | {'sum L2':>10}")
+for name, pol in (("ppo", ppo.policy(ppo_params)),
+                  ("sac", sac.policy(sac_params))):
+    for scale in (1.0, 10.0):
+        r, l2 = fixed_ic_rl(pol, scale)
+        print(f"{name:>12} | {scale:4.0f} | {r:8.2f} | {l2:10.2f}")
+"""),
     ("md", """
 ## Trained RL policies
 

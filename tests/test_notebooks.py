@@ -108,6 +108,21 @@ def test_parabolic_golden_values():
     assert _table_value(text, "sac") > 233.11  # beats published SAC outright
 
 
+def test_parabolic_fixed_ic_rl_rows():
+    # reference cell 23's RL rows (published PPO 294.83 / 283.32, SAC
+    # 236.04 / 232.75 for u0=1 / u0=10): ours beat all four
+    text = _stream_text(_load("ParabolicPDEExample.ipynb"))
+    rows = {}
+    for line in text.splitlines():
+        cells = [c.strip() for c in line.split("|")]
+        if len(cells) == 4 and cells[0] in ("ppo", "sac"):
+            rows[(cells[0], float(cells[1]))] = float(cells[2])
+    assert rows[("ppo", 1.0)] > 294.83
+    assert rows[("ppo", 10.0)] > 283.32
+    assert rows[("sac", 1.0)] > 236.04
+    assert rows[("sac", 10.0)] > 232.75
+
+
 def test_brain_tumor_golden_values():
     text = _stream_text(_load("BrainTumor1DExample.ipynb"))
     paper = _table_value(text, "paper 1.8 Gy/day |")
