@@ -73,3 +73,99 @@ def make_spatial_transport_interval(mesh: Mesh, dt: float, dx: float,
         out_specs=P(X_AXIS),
     )
     return jax.jit(sharded)
+
+
+def make_spatial_transport_episode(mesh: Mesh, *, dt: float, dx: float,
+                                   sample_rate: int, nt: int,
+                                   terminate_reward: float = 3e2,
+                                   lookback: int = 100):
+    """Full closed-loop backstepping episode on a SPATIALLY sharded transport
+    state: one PDE too large for a single device, split over the ``x`` mesh
+    axis with one-point ``ppermute`` halos per sub-step — the full-episode
+    upgrade of :func:`make_spatial_transport_interval`.
+
+    Returns jitted ``fn(u, beta, kernel) -> (rewards, u_final)`` where all
+    three inputs are ``(nx,)`` arrays sharded over ``x``:
+
+    - the backstepping control is computed distributively each interval:
+      ``ctrl = psum(kern_local · u_local) · dx`` (a sharded dot product);
+    - rewards reproduce ``TunedReward1D`` exactly (envs/common.py step
+      semantics): running ``‖u(t−lookback)‖ − ‖u(t)‖`` per interval and the
+      terminal ``terminate_reward − bsum/1000 − ‖u(T)‖`` bonus gated on
+      ``‖u(T)‖ < 20``, with norms as ``sqrt(psum(local Σu²))`` — verified
+      against ``TransportEnv`` to fp tolerance in
+      ``tests/test_spatial_sharding.py``;
+    - requires ``(nt−1) % sample_rate == 0`` (every reference config: the
+      horizon divides into full control intervals) and ``lookback <
+      sample_rate``.
+    """
+    S = sample_rate
+    if (nt - 1) % S:
+        raise ValueError("horizon must divide into full control intervals")
+    if not 0 < lookback < S:
+        raise ValueError("lookback must be inside one control interval")
+    n_steps = (nt - 1) // S
+    n_shards = mesh.size
+    perm = [(i, (i - 1) % n_shards) for i in range(n_shards)]
+
+    def episode(u_local, beta_local, kern_local):
+        axis_idx = jax.lax.axis_index(X_AXIS)
+        is_last = axis_idx == n_shards - 1
+        col = jnp.arange(u_local.shape[0])
+        last_col = jnp.logical_and(is_last, col == u_local.shape[0] - 1)
+
+        def norm(u):
+            return jnp.sqrt(jax.lax.psum(jnp.sum(u * u), X_AXIS))
+
+        def make_sub(ctrl):
+            def sub(u, _):
+                # halo: the RIGHT neighbor's first point; the wrap into the
+                # last shard is dead (its last column is the boundary write)
+                halo = jax.lax.ppermute(u[:1], X_AXIS, perm)
+                up = jnp.concatenate([u[1:], halo])
+                # recirculation reads the OLD global u(0, t) (shard 0's head)
+                u0 = jax.lax.all_gather(u[:1], X_AXIS)[0, 0]
+                un = u + dt * ((up - u) / dx + u0 * beta_local)
+                return jnp.where(last_col, ctrl, un), None
+
+            return sub
+
+        def interval(carry, _):
+            u, t, bsum = carry
+            ctrl = jax.lax.psum(jnp.dot(kern_local, u), X_AXIS) * dx
+            sub = make_sub(ctrl)
+            # segment the S sub-steps so the two norms the reward reads
+            # (lag `lookback` and lag 0 from the interval end) are computed
+            # exactly where TunedReward1D reads them
+            u, _ = jax.lax.scan(sub, u, None, length=S - lookback)
+            prev = norm(u)
+            u, _ = jax.lax.scan(sub, u, None, length=lookback)
+            cur = norm(u)
+            bsum = bsum + S * jnp.abs(ctrl)  # boundary is ctrl all interval
+            t = t + S
+            terminated = t >= nt - 1
+            r_term = terminate_reward - bsum / 1000.0 - cur
+            r = jnp.where(jnp.logical_and(terminated, cur < 20.0),
+                          r_term, prev - cur)
+            return (u, t, bsum), r
+
+        # bsum starts at |u0[-1]| (envs/common.py init_from)
+        tails = jax.lax.all_gather(u_local[-1:], X_AXIS)
+        bsum0 = jnp.abs(tails[-1, 0])
+        (u, _, _), rewards = jax.lax.scan(
+            interval, (u_local, jnp.asarray(0, jnp.int32), bsum0), None,
+            length=n_steps)
+        # rewards are built from psum-reduced scalars so every shard holds
+        # the same values, but the scan carry's vma unification marks them
+        # device-varying; a psum-mean re-asserts the replication statically
+        # (n_steps scalars, once per episode)
+        rewards = jax.lax.psum(rewards, X_AXIS) / n_shards
+        return rewards, u
+
+    sharded = jax.shard_map(
+        episode,
+        mesh=mesh,
+        in_specs=(P(X_AXIS), P(X_AXIS), P(X_AXIS)),
+        out_specs=(P(), P(X_AXIS)),
+    )
+    return jax.jit(sharded)

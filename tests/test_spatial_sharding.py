@@ -39,3 +39,58 @@ def test_spatially_sharded_interval_matches_single_device():
     result = np.asarray(fn(u_sharded, beta_sharded, jnp.float32(control)))
 
     np.testing.assert_allclose(result, expected, rtol=1e-6, atol=1e-6)
+
+
+def test_spatially_sharded_episode_matches_env_rewards():
+    """Full closed-loop backstepping episode on the sharded state reproduces
+    the single-device env's TunedReward1D sequence (the sharded norms/dots
+    are psum-reductions, so tolerance covers fp reassociation)."""
+    from pdecontrolgym_tpu.agents.backstepping import transport_kernel
+    from pdecontrolgym_tpu.parallel.spatial import make_spatial_transport_episode
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    assert jax.device_count() >= 8
+    mesh = spatial_mesh(jax.devices()[:8])
+    nx, dt, dx = 256, 1e-4, 1.0 / 256
+    cfg = Boundary1DConfig(T=2.0, dt=dt, X=1.0, dx=dx, control_sample_rate=0.1)
+    S, nt = cfg.sample_rate, cfg.nt  # 1000 sub-steps/interval, 20 intervals
+    env = TransportEnv(cfg, TunedReward1D(nt, -1e3, 3e2))
+
+    spatial = np.linspace(dx, 1.0, nx)
+    theta = (5 * np.cos(7.35 * np.arccos(np.clip(spatial, -1, 1)))).astype(np.float32)
+    kern = transport_kernel(jnp.asarray(theta), dx)
+    rng = np.random.default_rng(1)
+    u0 = rng.uniform(1.0, 5.0, nx).astype(np.float32)
+    beta = theta  # the plant the kernel stabilizes
+
+    # single-device closed loop
+    @jax.jit
+    def run_env():
+        state, obs = env.init_from(jnp.asarray(u0), jnp.asarray(beta))
+
+        def body(carry, _):
+            state, obs = carry
+            state, out = env.step(state, (obs @ kern) * dx)
+            return (state, out.obs), out.reward
+
+        (state, _), rewards = jax.lax.scan(
+            body, (state, obs), None, length=(nt - 1) // S)
+        return rewards, state.u
+
+    expected_r, expected_u = run_env()
+
+    fn = make_spatial_transport_episode(mesh, dt=dt, dx=dx, sample_rate=S,
+                                        nt=nt)
+    sh = NamedSharding(mesh, P("x"))
+    rewards, u_final = fn(jax.device_put(jnp.asarray(u0), sh),
+                          jax.device_put(jnp.asarray(beta), sh),
+                          jax.device_put(jnp.asarray(kern), sh))
+
+    np.testing.assert_allclose(np.asarray(rewards), np.asarray(expected_r),
+                               rtol=2e-3, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(u_final), np.asarray(expected_u),
+                               rtol=1e-3, atol=1e-4)
+    # the terminal interval actually collected the stabilization bonus
+    # (‖u(T)‖ ≈ 8 < 20 after 20 intervals → ~249 on both paths)
+    assert float(rewards[-1]) > 200.0
+    assert float(expected_r[-1]) > 200.0
