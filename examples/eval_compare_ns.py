@@ -100,9 +100,11 @@ def main():
             save_params(f"{args.save_params}/ns_ppo.msgpack", runner.params)
 
     if args.sac_iters > 0:
+        # lr=1e-3 + updates_per_iter=32 swept best (round 2): -5.59 final vs
+        # -7.48 with the lr=3e-4/16-update recipe (constant-lid oracle: -5.16)
         trainer = SACTrainer(env, SACConfig(
             num_envs=64, buffer_size=200_000, batch_size=256,
-            steps_per_iter=8, updates_per_iter=16, gamma=0.99,
+            steps_per_iter=8, updates_per_iter=32, gamma=0.99, lr=1e-3,
             init_alpha=0.1, reward_scale=0.05,
             action_low=-4.0, action_high=4.0,  # lid range covering 2.0
         ))

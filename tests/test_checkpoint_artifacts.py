@@ -192,6 +192,21 @@ def test_ns_ppo_checkpoint_tracks_lid():
     assert r["ppo"]["mean_return"] > -20.0
 
 
+def test_ns_sac_checkpoint_tracks_lid():
+    from pdecontrolgym_tpu.agents.sac import SACConfig, SACTrainer
+    from pdecontrolgym_tpu.eval import compare_controllers
+
+    env = _ns_env()
+    trainer = SACTrainer(env, SACConfig(action_low=-4.0, action_high=4.0))
+    _, obs0 = env.init(jax.random.key(0))
+    template = trainer.actor.init(jax.random.key(0), obs0[None])
+    params = _load("ns_sac.msgpack", template)
+    r = compare_controllers(env, {"sac": trainer.policy(params)},
+                            num_episodes=4, max_steps=200)
+    # TPU 50-episode mean: -5.59 (constant-lid oracle: -5.16, zero: -70.28)
+    assert r["sac"]["mean_return"] > -20.0
+
+
 def test_brain_tumor_ppo_checkpoint_extends_survival():
     from pdecontrolgym_tpu.agents.ppo import PPOConfig, PPOTrainer
     from pdecontrolgym_tpu.envs import BrainTumorEnv, TherapyEnv
