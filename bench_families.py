@@ -77,17 +77,47 @@ def bench_brain_tumor(num_envs, repeats, steps=None):
     return _measure(env, policy, num_envs, steps or 365, repeats)
 
 
+def _bench_ns(solver):
+    """NS at the reference's 21x21 grid and 2000-iteration pressure-parity
+    semantics. solver='matpow' collapses the 2000 sweeps into two precomputed
+    441x441 matmuls (identical truncation error); 'jacobi' runs them."""
+
+    def run(num_envs, repeats, steps=None):
+        from pdecontrolgym_tpu.envs.navier_stokes import (
+            NavierStokesConfig, NavierStokesEnv, freeze_boundary_condition)
+        from pdecontrolgym_tpu.rewards.ns import NSReward
+
+        bc = freeze_boundary_condition({
+            "upper": ["Controllable", "Dirchilet"],
+            "lower": ["Dirchilet", "Dirchilet"],
+            "left": ["Dirchilet", "Dirchilet"],
+            "right": ["Dirchilet", "Dirchilet"],
+        })
+        cfg = NavierStokesConfig(
+            dtype=jnp.float32, boundary_condition=bc, pressure_solver=solver)
+        nt = cfg.nt
+        env = NavierStokesEnv(
+            cfg, NSReward(0.1),
+            jnp.zeros((nt, cfg.ny, cfg.nx, 2), cfg.dtype),
+            2.0 * jnp.ones(nt, cfg.dtype))
+        policy = lambda obs, _key: jnp.full(obs.shape[:1] + (1,), 2.0)
+        return _measure(env, policy, num_envs, steps or nt - 1, repeats)
+
+    return run
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--envs", type=int, default=4096)
     ap.add_argument("--repeats", type=int, default=5)
     ap.add_argument("--steps", type=int, default=None,
                     help="override steps per rollout (smoke tests)")
-    ap.add_argument("--families", default="traffic,neuron,brain_tumor")
+    ap.add_argument("--families", default="traffic,neuron,brain_tumor,ns_matpow")
     args = ap.parse_args()
 
     fns = {"traffic": bench_traffic, "neuron": bench_neuron,
-           "brain_tumor": bench_brain_tumor}
+           "brain_tumor": bench_brain_tumor,
+           "ns_matpow": _bench_ns("matpow"), "ns_jacobi": _bench_ns("jacobi")}
     for name in filter(None, args.families.split(",")):
         rate, compile_s = fns[name](args.envs, args.repeats, args.steps)
         print(json.dumps({

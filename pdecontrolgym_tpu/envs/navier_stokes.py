@@ -36,6 +36,8 @@ from pdecontrolgym_tpu.ops.poisson2d import (
     jacobi_pressure,
     jacobi_pressure_flat,
     laplacian,
+    matpow_pressure,
+    matpow_pressure_setup,
 )
 
 _EDGES = ("lower", "upper", "left", "right")
@@ -59,6 +61,10 @@ class NavierStokesConfig:
     dtype: Any = jnp.float64
     pressure_layout: str = "grid"  # "grid" (parity) | "flat" (lane-flattened)
     # "jacobi": the reference's fixed-iteration sweep (parity at 2000 iters).
+    # "matpow": the SAME affine map collapsed to two precomputed dense
+    # matmuls (ops/poisson2d.matpow_pressure) — reproduces the reference's
+    # finite-iteration truncation error to ~1e-11 at f64, at MXU speed;
+    # (ny·nx)² memory, so reference-sized grids only.
     # "direct": exact spectral solve of the same fixed point via DCT-II
     # matmuls (ops/poisson2d.direct_pressure) — the fast mode; it ignores
     # maximum_pressure_iteration and is MORE accurate than any finite sweep.
@@ -154,9 +160,15 @@ class NavierStokesEnv(FunctionalEnv):
         self.U_ref = jnp.asarray(U_ref, c.dtype)
         self.action_ref = jnp.asarray(action_ref, c.dtype)
         self.ic_sampler = ic_sampler
+        solver = getattr(c, "pressure_solver", "jacobi")
         self._poisson_basis = (
-            direct_pressure_setup(c.ny, c.nx, c.dtype)
-            if getattr(c, "pressure_solver", "jacobi") == "direct"
+            direct_pressure_setup(c.ny, c.nx, c.dtype) if solver == "direct" else None
+        )
+        self._matpow_mats = (
+            matpow_pressure_setup(
+                c.ny, c.nx, c.dx, c.dy, c.maximum_pressure_iteration, c.dtype
+            )
+            if solver == "matpow"
             else None
         )
 
@@ -239,6 +251,12 @@ class NavierStokesEnv(FunctionalEnv):
         if self._poisson_basis is not None:
             return direct_pressure(
                 u, v, p_prev, c.dx, c.dy, c.dt, c.density, self._poisson_basis
+            )
+        if self._matpow_mats is not None and (
+            iters is None or iters == c.maximum_pressure_iteration
+        ):
+            return matpow_pressure(
+                u, v, p_prev, c.dx, c.dy, c.dt, c.density, self._matpow_mats
             )
         solver = (
             jacobi_pressure_flat

@@ -170,6 +170,100 @@ def direct_pressure(u, v, p0, dx, dy, dt, density, basis):
     return _neumann_edges(p)
 
 
+def matpow_pressure_setup(ny: int, nx: int, dx, dy, iters: int, dtype=jnp.float32):
+    """Collapse ``iters`` Jacobi sweeps into two dense matrices.
+
+    One sweep of the reference's pressure iteration
+    (``navier_stokes2D.py:104-114``) is an *affine* map on the flattened
+    (ny·nx,) pressure vector: interior averaging + rhs add, then four
+    sequential Neumann edge copies — all linear. So
+
+        p_{k+1} = M p_k + w,   w = c·E·mask·rhs,  c = −dx·dy/4
+
+    and ``iters`` sweeps are exactly
+
+        p_K = A p_0 + B rhs,   A = M^K,  B = c·(Σ_{j<K} M^j)·E·mask
+
+    with A, B precomputed here in float64 by binary powering of the pair
+    ``(M, S) ∘ (M, S) = (M², M·S + S)`` (the affine-map composition rule).
+    At the reference's 21×21 grid these are 441×441 matrices: the whole
+    2000-iteration parity solve becomes two MXU matmuls per step, with the
+    reference's *finite-iteration truncation error reproduced exactly* —
+    unlike the spectral ``direct`` mode, which is the converged fixed point.
+    Memory/flops scale as (ny·nx)², so this is the reference-sized-grid
+    accelerator; use ``direct`` for large grids."""
+    import numpy as np
+
+    n = ny * nx
+    idx = np.arange(n)
+    row, col = idx // nx, idx % nx
+    interior = (row >= 1) & (row <= ny - 2) & (col >= 1) & (col <= nx - 2)
+
+    # W: interior rows average the four neighbors, boundary rows identity
+    W = np.zeros((n, n))
+    bd = np.flatnonzero(~interior)
+    W[bd, bd] = 1.0
+    ii = np.flatnonzero(interior)
+    for off in (1, -1, nx, -nx):
+        W[ii, ii + off] += 0.25
+
+    def edge_copy(dst_mask, src_offset):
+        E = np.eye(n)
+        d = np.flatnonzero(dst_mask)
+        E[d, d] = 0.0
+        E[d, d + src_offset] = 1.0
+        return E
+
+    # sequential order of _neumann_edges: right col, bottom row (row 0),
+    # left col, top row (row ny-1) — corners follow the copy chain
+    E = edge_copy(col == nx - 1, -1)
+    E = edge_copy(row == 0, nx) @ E
+    E = edge_copy(col == 0, 1) @ E
+    E = edge_copy(row == ny - 1, -nx) @ E
+
+    M = E @ W
+    # rhs injection: interior rows get c·rhs before the edge copies
+    c = -0.25 * float(dx) * float(dy)
+    R = np.zeros((n, n))
+    R[ii, ii] = c
+    w_mat = E @ R
+
+    # binary powering of the affine pair (A, S): p -> A p + S w
+    A = np.eye(n)
+    S = np.zeros((n, n))
+    P, Q = M, np.eye(n)  # current power pair
+    k = iters
+    while k:
+        if k & 1:
+            A, S = P @ A, P @ S + Q
+        P, Q = P @ P, P @ Q + Q
+        k >>= 1
+    B = S @ w_mat
+    return {"A": jnp.asarray(A, dtype), "B": jnp.asarray(B, dtype)}
+
+
+def matpow_pressure(u, v, p0, dx, dy, dt, density, mats):
+    """Apply the precomputed ``iters``-sweep affine map (two batched matmuls;
+    see :func:`matpow_pressure_setup`). Semantically identical to
+    ``jacobi_pressure(..., iters)`` at f64 to ~1e-11."""
+    ny, nx = u.shape[-2], u.shape[-1]
+    lead = u.shape[:-2]
+    rhs = jnp.zeros_like(u).at[..., 1:-1, 1:-1].set(
+        density / dt * (
+            (u[..., 1:-1, 2:] - u[..., 1:-1, :-2]) / (2.0 * dx)
+            + (v[..., 2:, 1:-1] - v[..., :-2, 1:-1]) / (2.0 * dy)
+        )
+    ).reshape(lead + (ny * nx,))
+    pf = p0.reshape(lead + (ny * nx,))
+    # f32 MXU matmuls truncate to bf16 passes by default; the parity contract
+    # needs full precision (3-pass) accumulation
+    out = (
+        jnp.einsum("ij,...j->...i", mats["A"], pf, precision="highest")
+        + jnp.einsum("ij,...j->...i", mats["B"], rhs, precision="highest")
+    )
+    return out.reshape(lead + (ny, nx))
+
+
 def jacobi_pressure(u, v, p0, dx, dy, dt, density, iters: int):
     """Fixed-iteration Jacobi solve of ∇²p = ρ/dt·(∂u/∂x + ∂v/∂y).
 

@@ -79,7 +79,8 @@ def test_bench_families_smoke(capsys):
          ["--envs", "8", "--repeats", "1", "--steps", "3"])
     lines = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
     rows = [json.loads(l) for l in lines]
-    assert [r["env"] for r in rows] == ["traffic", "neuron", "brain_tumor"]
+    assert [r["env"] for r in rows] == ["traffic", "neuron", "brain_tumor",
+                                        "ns_matpow"]
     assert all(r["value"] > 0 for r in rows)
 
 

@@ -175,6 +175,54 @@ def test_flat_pressure_layout_matches_grid():
     np.testing.assert_allclose(np.asarray(outg.obs), np.asarray(outf.obs), rtol=1e-12)
 
 
+@pytest.mark.parametrize("iters", [7, 2000])
+def test_matpow_pressure_matches_jacobi(iters):
+    """The precomputed affine-map solver reproduces the exact K-sweep Jacobi
+    result (finite-iteration truncation error included) to ~1e-12 at f64."""
+    from pdecontrolgym_tpu.ops.poisson2d import (
+        jacobi_pressure,
+        matpow_pressure,
+        matpow_pressure_setup,
+    )
+
+    rng = np.random.default_rng(5)
+    u = jnp.asarray(rng.normal(size=(3, N, N)))
+    v = jnp.asarray(rng.normal(size=(3, N, N)))
+    p = jnp.asarray(rng.normal(size=(3, N, N)))
+    a = np.asarray(jacobi_pressure(u, v, p, DX, DY, DT, 1.0, iters))
+    mats = matpow_pressure_setup(N, N, DX, DY, iters, jnp.float64)
+    b = np.asarray(matpow_pressure(u, v, p, DX, DY, DT, 1.0, mats))
+    np.testing.assert_allclose(a, b, rtol=1e-10, atol=1e-12)
+
+
+def test_matpow_env_matches_parity_mode():
+    """Full env steps under pressure_solver='matpow' equal the 2000-iteration
+    Jacobi parity mode at rtol 1e-9 (the reference-parity tolerance) — the
+    matpow solve IS the parity solve, collapsed to two matmuls."""
+    import dataclasses
+
+    U_ref, action_ref = _refs()
+    env_j = _tpu_env(U_ref, action_ref, iters=2000)
+    env_m = NavierStokesEnv(
+        dataclasses.replace(env_j.config, pressure_solver="matpow"),
+        env_j.reward, U_ref, action_ref,
+    )
+    u0, v0, p0 = _ic()
+    sj, _ = env_j.init_from(u0, v0, p0)
+    sm, _ = env_m.init_from(u0, v0, p0)
+    stepj = jax.jit(env_j.step)
+    stepm = jax.jit(env_m.step)
+    for _ in range(6):
+        sj, outj = stepj(sj, jnp.asarray([2.0]))
+        sm, outm = stepm(sm, jnp.asarray([2.0]))
+        np.testing.assert_allclose(
+            np.asarray(outm.obs), np.asarray(outj.obs), rtol=1e-9, atol=1e-10
+        )
+        np.testing.assert_allclose(
+            float(outm.reward), float(outj.reward), rtol=1e-9
+        )
+
+
 def test_direct_pressure_matches_converged_jacobi():
     """The DCT-II spectral solve is the exact fixed point of the reference's
     Jacobi sweep: it matches a (effectively) converged Jacobi run to ~1e-10
