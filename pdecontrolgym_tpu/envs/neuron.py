@@ -184,24 +184,33 @@ class NeuronEnv(FunctionalEnv):
         lt = Z[1] + c.LSubS
         dxreal = dx * lt
 
+        # All reads at the (dynamic) boundary index are masked reductions,
+        # not u[L]-style indexing: a vmapped dynamic gather lowers to a TPU
+        # gather op, while mask+sum stays a VPU multiply-reduce that fuses
+        # with the rest of the step (same trick as brain_tumor.tumor_radius).
+        idx = jnp.arange(self.M)
+        pick = lambda vec, k: jnp.where(idx == k, vec, 0.0).sum()
+
         # cone ODE update using the OLD boundary index (neuron_env.py:288-293)
-        ux_tip = (3.0 * u[L] - 4.0 * u[L - 1] + u[L - 2]) / (2.0 * dxreal)
+        ux_tip = (
+            3.0 * pick(u, L) - 4.0 * pick(u, L - 1) + pick(u, L - 2)
+        ) / (2.0 * dxreal)
         Z0_new = (self.aTilde1 * Z[0] - self.beta_c * ux_tip) * dt + Z[0]
         Z1_new = c.RSubG * Z[0] * dt + Z[1]
         Z_new = jnp.stack([Z0_new, Z1_new])
         L_new = self._conversion(Z1_new)
 
         # backstepping control U(t): masked trapezoid over [0, L_new] (:302-307)
-        idx = jnp.arange(self.M)
+        tip_new = idx == L_new
         inner = jnp.where((idx >= 1) & (idx < L_new), self.pB * u, 0.0).sum() * dxreal
         middle = (
             dxreal * self.pB[0] * u[0] / 2.0
             + inner
-            + dxreal / 2.0 * self.pB[L_new] * u[L_new]
+            + dxreal / 2.0
+            * jnp.where(tip_new, self.pB * u, 0.0).sum()
         ) / c.D
-        control = lt * (
-            self.coefficient * u[0] - middle + self.p[L_new] @ Z_new
-        )
+        p_tip = jnp.where(tip_new[:, None], self.p, 0.0).sum(0)  # p[L_new], (2,)
+        control = lt * (self.coefficient * u[0] - middle + p_tip @ Z_new)
 
         # left boundary via fictitious point (:313-314)
         ufic = u[1] - control * dxreal * 2.0
@@ -218,9 +227,10 @@ class NeuronEnv(FunctionalEnv):
         adv = ((idx - 1) / lt) * (c.RSubG * Z[0]) * diff / 2.0
         interior = u + dt * (c.D * uxx + adv - c.a * diff / dxreal / 2.0 - c.g * u)
 
+        tip_val = self.H @ Z_new
         u_new = jnp.where((idx >= 1) & (idx < L_new), interior, u)
-        u_new = u_new.at[0].set(u0_new)
-        u_new = u_new.at[L_new].set(self.H @ Z_new)  # tip BC (:322)
+        u_new = jnp.where(idx == 0, u0_new, u_new)
+        u_new = jnp.where(tip_new, tip_val, u_new)  # tip BC (:322)
 
         terminated = t >= c.nt  # quirk preserved (:347)
         truncated = jnp.logical_and(
@@ -242,7 +252,7 @@ class NeuronEnv(FunctionalEnv):
                 executed=jnp.asarray(1, jnp.int32),
                 terminated=terminated,
                 truncated=truncated,
-                action=u_new[L_new],
+                action=tip_val,  # == u_new[L_new], just written above
                 norms=jnp.linalg.norm(u_new)[None],
                 bsum=jnp.zeros((), c.dtype),
                 ring=1,
