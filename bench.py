@@ -64,7 +64,7 @@ def _build_burgers(num_envs):
     return env, policy, agent_steps, cfg.sample_rate
 
 
-def bench_env(name, num_envs, repeats=3):
+def bench_env(name, num_envs, repeats=3, inner=8):
     from pdecontrolgym_tpu.parallel.rollout import rollout
 
     build = {
@@ -75,19 +75,33 @@ def bench_env(name, num_envs, repeats=3):
     }[name]
     env, policy, agent_steps, sample_rate = build(num_envs)
 
-    # the whole rollout is ONE device program returning a scalar; timing
-    # includes a host readback of that scalar because block_until_ready over
-    # the axon tunnel returns before remote execution completes
-    run = jax.jit(
-        lambda key: rollout(env, policy, num_envs, agent_steps, key)[1].reward.sum()
-    )
+    # ONE device program returning a scalar; timing includes a host readback
+    # of that scalar because block_until_ready over the axon tunnel returns
+    # before remote execution completes. The program scans ``inner`` full
+    # episodes (fresh keys each — no CSE) so the tunnel's ~30 ms fixed
+    # dispatch round-trip is amortized to <15% of the dispatch: timing single
+    # episodes conflated that intercept with device throughput (it was ~40%
+    # of a transport episode's wall time). Production training loops fuse
+    # many rollouts per dispatch the same way.
+    def episode(key):
+        return rollout(env, policy, num_envs, agent_steps, key)[1].reward.sum()
+
+    def run_fn(key):
+        acc, _ = jax.lax.scan(
+            lambda a, k: (a + episode(k).astype(jnp.float32), ()),
+            jnp.zeros((), jnp.float32),
+            jax.random.split(key, inner),
+        )
+        return acc
+
+    run = jax.jit(run_fn)
     float(np.asarray(run(jax.random.key(0))))  # compile + first run
     best = float("inf")
     for i in range(repeats):
         t0 = time.perf_counter()
         float(np.asarray(run(jax.random.key(i))))
         best = min(best, time.perf_counter() - t0)
-    substeps = num_envs * agent_steps * sample_rate
+    substeps = num_envs * agent_steps * sample_rate * inner
     return substeps, best
 
 

@@ -28,11 +28,25 @@ import jax
 import jax.numpy as jnp
 
 
-def _measure(env, policy, num_envs, num_steps, repeats):
+def _measure(env, policy, num_envs, num_steps, repeats, inner=8):
     from pdecontrolgym_tpu.parallel.rollout import rollout
 
-    run = jax.jit(lambda key: rollout(
-        env, policy, num_envs, num_steps, key)[1].reward.sum())
+    # scan ``inner`` full episodes per dispatch (fresh keys — no CSE) so the
+    # tunnel's ~30 ms fixed dispatch round-trip is amortized instead of being
+    # billed to the env: single-episode timing understated the short families
+    # (brain tumor's 365-day episode is ~10 ms of device work) by up to 4x.
+    def episode(key):
+        return rollout(env, policy, num_envs, num_steps, key)[1].reward.sum()
+
+    def run_fn(key):
+        acc, _ = jax.lax.scan(
+            lambda a, k: (a + episode(k).astype(jnp.float32), ()),
+            jnp.zeros((), jnp.float32),
+            jax.random.split(key, inner),
+        )
+        return acc
+
+    run = jax.jit(run_fn)
     t0 = time.time()
     float(np.asarray(run(jax.random.key(0))))
     compile_s = time.time() - t0
@@ -41,7 +55,7 @@ def _measure(env, policy, num_envs, num_steps, repeats):
         t0 = time.perf_counter()
         float(np.asarray(run(jax.random.key(i + 1))))
         best = min(best, time.perf_counter() - t0)
-    return num_envs * num_steps / best, compile_s
+    return num_envs * num_steps * inner / best, compile_s
 
 
 def bench_traffic(num_envs, repeats, steps=None):

@@ -138,17 +138,23 @@ class NeuronEnv(FunctionalEnv):
             return phi, phip
 
         phi, phip = jax.vmap(gains)(x)
-        self.phi = phi
-        self.phi_prime = phip
-        self.p = phip - gamma * phi  # (M, 2)
-        self.pB = self.p @ B  # (M,)
+        # gain/constant tables are computed at ambient (f64-if-x64) precision
+        # but STORED at c.dtype: step() mixes them with the f32 state, and an
+        # f64 table would promote u_new to f64 (breaking the scan carry when
+        # tests run under jax_enable_x64)
+        self.phi = phi.astype(c.dtype)
+        self.phi_prime = phip.astype(c.dtype)
+        self.p = (phip - gamma * phi).astype(c.dtype)  # (M, 2)
+        self.pB = (self.p @ B.astype(c.dtype))  # (M,)
+        self.H = H.astype(c.dtype)
+        self.B = B.astype(c.dtype)
 
         # equilibrium profile + IC (neuron_env.py:202-219)
         dist = scale * x - c.LSubS
-        self.c_eq = c.cInfty * (
+        self.c_eq = (c.cInfty * (
             K_plus * jnp.exp(lam_plus * dist) + K_minus * jnp.exp(lam_minus * dist)
-        )
-        self.coefficient = (H @ B) / c.D + gamma
+        )).astype(c.dtype)
+        self.coefficient = ((H @ B) / c.D + gamma).astype(c.dtype)
 
     @property
     def obs_dim(self) -> int:
