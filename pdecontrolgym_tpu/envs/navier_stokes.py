@@ -268,7 +268,10 @@ class NavierStokesEnv(FunctionalEnv):
             iters if iters is not None else c.maximum_pressure_iteration,
         )
 
-    def step(self, state: NavierStokesState, action, key=None):
+    def _advance(self, state: NavierStokesState, action):
+        """Physics only: predictor → boundary → pressure → corrector →
+        boundary (``navier_stokes2D.py:118-157``). Reward is applied
+        separately so ``step_batch`` can share the tracking-target lookup."""
         c = self.config
         u, v, p = state.u, state.v, state.p
         nu, dt = c.viscosity, c.dt
@@ -288,7 +291,10 @@ class NavierStokesEnv(FunctionalEnv):
         new_state = NavierStokesState(u=u_next, v=v_next, p=pressure, time_index=t)
         frame = self._observe(new_state)
         terminated = t >= c.nt - 1
+        return new_state, frame, terminated, t
 
+    def _reward_at(self, frame, t, terminated, action, frame_ref, action_ref):
+        c = self.config
         ctx = RewardCtx(
             u=frame,
             time_index=t,
@@ -301,16 +307,55 @@ class NavierStokesEnv(FunctionalEnv):
             ring=1,
             extras={
                 "frame": frame,
-                "frame_ref": self.U_ref[t],
+                "frame_ref": frame_ref,
                 "action": action,
-                "action_ref": self.action_ref[t],
+                "action_ref": action_ref,
             },
         )
-        reward = self.reward(ctx)
+        return self.reward(ctx)
+
+    def step(self, state: NavierStokesState, action, key=None):
+        new_state, frame, terminated, t = self._advance(state, action)
+        reward = self._reward_at(
+            frame, t, terminated, action, self.U_ref[t], self.action_ref[t]
+        )
         return new_state, StepOut(
             obs=frame,
             reward=reward,
             terminated=terminated,
             truncated=False,
+            info={},
+        )
+
+    def step_batch(self, state: NavierStokesState, actions):
+        """Batched step with a lockstep-aware tracking-target lookup.
+
+        Under ``vmap(env.step)`` the per-env ``U_ref[t]`` row lookup lowers to
+        a TPU gather that costs more than the whole projection step (1305 vs
+        116 µs/step at 2048 envs × 64×64). NS episodes never truncate, so a
+        rollout batch is time-lockstep in practice; this path checks that at
+        runtime and branches to ONE shared dynamic slice (broadcast fuses into
+        the reward reduce), keeping the per-env gather only as the fallback
+        for genuinely divergent times."""
+        new_state, frames, terminated, ts = jax.vmap(self._advance)(state, actions)
+
+        def shared_ref(_):
+            row = jax.lax.dynamic_index_in_dim(self.U_ref, ts[0], 0, keepdims=False)
+            arow = jax.lax.dynamic_index_in_dim(self.action_ref, ts[0], 0, keepdims=False)
+            return jax.vmap(
+                lambda fr, tt, term, ac: self._reward_at(fr, tt, term, ac, row, arow)
+            )(frames, ts, terminated, actions)
+
+        def gathered_ref(_):
+            return jax.vmap(self._reward_at)(
+                frames, ts, terminated, actions, self.U_ref[ts], self.action_ref[ts]
+            )
+
+        reward = jax.lax.cond((ts == ts[0]).all(), shared_ref, gathered_ref, None)
+        return new_state, StepOut(
+            obs=frames,
+            reward=reward,
+            terminated=terminated,
+            truncated=jnp.zeros_like(terminated),
             info={},
         )

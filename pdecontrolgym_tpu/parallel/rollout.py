@@ -43,16 +43,30 @@ def batch_step(env, autoreset: bool = True):
 
     def step(state, actions, key):
         next_state, out = raw_step(state, actions)
-        n = jax.tree_util.tree_leaves(state)[0].shape[0]
-        fresh_state, fresh_obs = jax.vmap(env.init)(jax.random.split(key, n))
         done = jnp.logical_or(out.terminated, out.truncated)
+        n = jax.tree_util.tree_leaves(state)[0].shape[0]
 
-        def sel(a, b):
-            d = done.reshape(done.shape + (1,) * (a.ndim - done.ndim))
-            return jnp.where(d, a, b)
+        # Reset work (fresh ICs + a full-state select) is branch-gated on
+        # "any env actually ended": on non-terminal steps the identity branch
+        # runs instead. For large-field envs the ungated version dominated —
+        # re-sampling 3 fresh (B, 64, 64) NS fields and tree-selecting every
+        # step cost more than the projection step itself (~2x end-to-end).
+        def do_reset(operand):
+            next_state, out, key = operand
+            fresh_state, fresh_obs = jax.vmap(env.init)(jax.random.split(key, n))
 
-        new_state = jax.tree_util.tree_map(sel, fresh_state, next_state)
-        return new_state, out.replace(obs=sel(fresh_obs, out.obs))
+            def sel(a, b):
+                d = done.reshape(done.shape + (1,) * (a.ndim - done.ndim))
+                return jnp.where(d, a, b)
+
+            new_state = jax.tree_util.tree_map(sel, fresh_state, next_state)
+            return new_state, out.replace(obs=sel(fresh_obs, out.obs))
+
+        def no_reset(operand):
+            next_state, out, _ = operand
+            return next_state, out
+
+        return jax.lax.cond(done.any(), do_reset, no_reset, (next_state, out, key))
 
     return step
 
