@@ -36,7 +36,12 @@ def _measure(env, policy, num_envs, num_steps, repeats, inner=8):
     # billed to the env: single-episode timing understated the short families
     # (brain tumor's 365-day episode is ~10 ms of device work) by up to 4x.
     def episode(key):
-        return rollout(env, policy, num_envs, num_steps, key)[1].reward.sum()
+        (_, obs), outs = rollout(env, policy, num_envs, num_steps, key)
+        # fold the final observation into the timed scalar too: a reward-free
+        # env (neuron embeds its controller and needs no reward here) would
+        # otherwise time a constant-zero program after XLA dead-code
+        # eliminates the entire rollout
+        return outs.reward.sum().astype(jnp.float32) + obs.sum().astype(jnp.float32)
 
     def run_fn(key):
         acc, _ = jax.lax.scan(

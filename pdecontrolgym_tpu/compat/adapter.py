@@ -415,9 +415,14 @@ class NeuronPDE1D(gym.Env):
         self.reward_class = reward_class
         self.M = self.fenv.M
         self.nt, self.dt, self.T, self.dx, self.X = cfg.nt, dt, T, dx, X
+        # scalar sensing variants (collocated/opposite) observe 1 value; only
+        # "full" returns the state row, truncated to u[:L] on the host below
+        # (the reference's dynamic-length new_u, neuron_env.py:325-331)
+        self._full_sensing = cfg.sensing_loc == "full"
+        obs_dim = self.fenv.obs_dim
         self.observation_space = spaces.Box(
-            np.full(self.M, -max_state_value, dtype="float32"),
-            np.full(self.M, max_state_value, dtype="float32"),
+            np.full(obs_dim, -max_state_value, dtype="float32"),
+            np.full(obs_dim, max_state_value, dtype="float32"),
         )
         self.action_space = spaces.Box(
             low=np.array([-max_control_value], dtype="float32"),
@@ -445,16 +450,22 @@ class NeuronPDE1D(gym.Env):
         super().reset(seed=seed)
         self._state, obs = self._jit_init(None)
         self.time_index = 0.0
-        return self.sensing_noise_func(np.asarray(obs)[: self.L]), {}
+        obs = np.asarray(obs)
+        if self._full_sensing:
+            obs = obs[: self.L]
+        return self.sensing_noise_func(obs), {}
 
     def step(self, action=None):
         self._state, out = self._jit_step(self._state)
         self.time_index = float(self._state.time_index)
         L = int(out.info["L"])
-        obs = self.sensing_noise_func(np.asarray(out.obs)[:L])
+        obs = np.asarray(out.obs)
+        if self._full_sensing:
+            obs = obs[:L]
+        obs = self.sensing_noise_func(obs)
         reward = float(out.reward)
         if self._legacy_reward and self.reward_class is not None:
-            u2d = np.asarray(out.obs).reshape(-1, 1)
+            u2d = np.asarray(self._state.u).reshape(-1, 1)
             reward = self.reward_class.reward(
                 u2d, self.time_index, bool(out.terminated), bool(out.truncated),
                 u2d[L],

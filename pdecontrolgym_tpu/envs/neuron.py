@@ -17,6 +17,21 @@ AttributeError (:288 vs :78) that makes the reference's ``step()`` unrunnable,
 and the unreachable ``sensing_loc="Full"`` default (:50 vs the lowercase match
 arms :104-131). Oracle tests patch the reference attribute to compare.
 
+Sensing/control variant matrix (reference ``neuron_env.py:104-162``): the
+observation is resolved ONCE at construction from
+``sensing_loc`` × ``control_type`` × ``sensing_type``. The reference applies
+its sensing lambda to ``new_u = u[:LNew]`` (:325-331), so "collocated" reads
+the moving tip's neighborhood: with Neumann control it is ``u[L-1]``
+(``state[-1]``), with Dirichlet control ``(u[L-1] - u[L-2])/dx``; "opposite"
+reads the soma end, ``(u[1]-u[0])/dx`` (Neumann sensing) or ``u[0]``
+(Dirichlet sensing). "full" returns the whole fixed-shape state row (the
+reference returns the dynamic-length ``u[:LNew]``; the Gymnasium adapter
+truncates on the host to match). Note the reference's ``control_update``
+result is discarded (:310 — ``normalize(...)`` return value unassigned), so
+``control_type`` affects ONLY the collocated sensing stencil, never the
+dynamics; this build mirrors that. Invalid combinations raise at construction
+with the reference's error messages.
+
 Quirk preserved: ``time_index`` accumulates ``dt`` per step while ``terminate``
 compares against ``nt`` (:276, :347) — episodes effectively never
 time-terminate, matching the reference.
@@ -156,9 +171,51 @@ class NeuronEnv(FunctionalEnv):
         )).astype(c.dtype)
         self.coefficient = ((H @ B) / c.D + gamma).astype(c.dtype)
 
+        self._sensing_fn, self._obs_dim = self._make_sensing_fn()
+
+    def _make_sensing_fn(self):
+        """Resolve the sensing lambda matrix once at construction
+        (``neuron_env.py:104-162``). Returns ``(fn(u, L) -> obs, obs_dim)``.
+        Tip-relative reads are masked reductions (same reason as in step)."""
+        c = self.config
+        if c.control_type not in ("Neumann", "Dirchilet"):
+            raise Exception(
+                "Invalid control_type parameter. Please use 'Neumann' or "
+                "'Dirchilet'. See documentation for details."
+            )
+        if c.sensing_loc == "full":
+            return (lambda u, L: u), self.M
+        idx = jnp.arange(self.M)
+
+        def pick(vec, k):
+            return jnp.where(idx == k, vec, 0.0).sum()
+
+        dx = c.dtype(c.dx)
+        if c.sensing_loc == "collocated":
+            if c.control_type == "Neumann":
+                # new_u[-1] = u[L-1] (neuron_env.py:113 over u[:LNew])
+                return (lambda u, L: pick(u, L - 1)[None]), 1
+            # Dirichlet control: (new_u[-1] - new_u[-2]) / dx (:140-142)
+            return (
+                lambda u, L: ((pick(u, L - 1) - pick(u, L - 2)) / dx)[None]
+            ), 1
+        if c.sensing_loc == "opposite":
+            if c.sensing_type == "Neumann":
+                return (lambda u, L: ((u[1] - u[0]) / dx)[None]), 1  # :118-120
+            if c.sensing_type == "Dirchilet":
+                return (lambda u, L: u[0][None]), 1  # :123
+            raise Exception(
+                "Invalid sensing_type parameter. Please use 'Neumann' or "
+                "'Dirchilet'. See documentation for details."
+            )
+        raise Exception(
+            "Invalid sensing_loc parameter. Please use 'full', 'collocated', "
+            "or 'opposite'. See documentation for details."
+        )
+
     @property
     def obs_dim(self) -> int:
-        return self.M
+        return self._obs_dim
 
     def _conversion(self, z1):
         """Physical length -> clamped grid index (neuron_env.py:367-373)."""
@@ -177,7 +234,13 @@ class NeuronEnv(FunctionalEnv):
             L=self._conversion(Z0[1]),
             time_index=jnp.zeros((), c.dtype),
         )
-        return state, state.u
+        return state, self._observe(state.u, state.L)
+
+    def _observe(self, u, L):
+        obs = self._sensing_fn(u, L)
+        if self.noise_fn is not None:
+            obs = self.noise_fn(obs)  # single-arg, as in the reference
+        return obs
 
     def step(self, state: NeuronState, action=None, key=None):
         """Advance one dt. ``action`` is ignored — the backstepping control is
@@ -267,7 +330,7 @@ class NeuronEnv(FunctionalEnv):
             reward = self.reward(ctx)
 
         return new_state, StepOut(
-            obs=u_new,
+            obs=self._observe(u_new, L_new),
             reward=reward,
             terminated=terminated,
             truncated=truncated,

@@ -22,20 +22,20 @@ class _ZeroReward:
         return 0.0
 
 
-def _ref_env():
+def _ref_env(**variant):
     neuron = load_reference_module("pde_control_gym.src.environments1d.neuron_env")
     env = neuron.NeuronPDE1D(
         sensing_noise_func=lambda s: s,
         reward_class=_ZeroReward(),
-        sensing_loc="full",
+        **{"sensing_loc": "full", **variant},
         **PARAMS,
     )
     env.atilde1 = env.aTilde1  # the documented reference bug
     return env
 
 
-def _tpu_env():
-    return NeuronEnv(NeuronConfig(**PARAMS))
+def _tpu_env(**variant):
+    return NeuronEnv(NeuronConfig(**PARAMS, **variant))
 
 
 def test_construction_tables_match():
@@ -72,6 +72,59 @@ def test_trajectory_parity_200_steps():
             rtol=1e-8,
         )
         assert bool(out.terminated) == term
+
+
+VARIANTS = [
+    # sensing_loc x control_type x sensing_type (neuron_env.py:104-162)
+    dict(sensing_loc="collocated", control_type="Neumann"),
+    dict(sensing_loc="collocated", control_type="Dirchilet"),
+    dict(sensing_loc="opposite", sensing_type="Neumann"),
+    dict(sensing_loc="opposite", sensing_type="Dirchilet"),
+]
+
+
+def test_sensing_variant_parity():
+    """Each sensing/control variant's observation stream matches the
+    (patched) reference's ``sensing_update(u[:LNew], dx, noise)``."""
+    import pytest
+
+    for variant in VARIANTS:
+        ref = _ref_env(**variant)
+        env = _tpu_env(**variant)
+        assert env.obs_dim == 1
+        step = jax.jit(env.step)
+        state, _ = env.init(None)
+        for _ in range(50):
+            ref_obs = ref.step()[0]
+            state, out = step(state)
+            np.testing.assert_allclose(
+                np.asarray(out.obs).ravel(),
+                np.asarray(ref_obs).ravel(),
+                rtol=1e-7, atol=1e-12,
+                err_msg=f"variant {variant}",
+            )
+    # invalid combos are rejected loudly (the reference raises at init too)
+    with pytest.raises(Exception, match="sensing_loc"):
+        _tpu_env(sensing_loc="Full")  # the reference's unreachable default
+    with pytest.raises(Exception, match="control_type"):
+        _tpu_env(control_type="robin")
+    with pytest.raises(Exception, match="sensing_type"):
+        _tpu_env(sensing_loc="opposite", sensing_type="robin")
+
+
+def test_sensing_variant_adapter():
+    """The Gymnasium adapter exposes scalar observation spaces for the
+    collocated/opposite variants and the episode runs."""
+    from pdecontrolgym_tpu.compat.adapter import NeuronPDE1D
+
+    env = NeuronPDE1D(sensing_loc="collocated", control_type="Neumann",
+                      **PARAMS)
+    assert env.observation_space.shape == (1,)
+    obs, _ = env.reset()
+    assert obs.shape == (1,)
+    obs, rew, term, trunc, _ = env.step()
+    assert obs.shape == (1,)
+    assert np.isfinite(obs).all()
 
 
 def test_growth_progresses_toward_target_length():
