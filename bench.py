@@ -107,7 +107,7 @@ def bench_env(name, num_envs, repeats=3, inner=8):
 
 def _build_reaction_diffusion(num_envs):
     """BASELINE config 3: parabolic implicit scheme, nx=256. The θ-scheme
-    operators are constant, so the default dense-propagator solver applies
+    operators are constant, so the dense-propagator solver applies
     each sub-step as ONE batched (B,n)@(n,n) MXU matmul (vs 2n sequential
     Thomas sweep steps on the VPU); stable at 40x the explicit FTCS dt bound,
     so a control interval needs only 25 sub-steps."""

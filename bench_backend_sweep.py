@@ -66,17 +66,75 @@ def _mk_rd(nx, backend):
     return env, policy, cfg.sample_rate
 
 
+def _rd_implicit_rows(num_envs, repeats, solvers):
+    """Implicit-solver comparison at the bench.py RD config (nx=256, CN,
+    dt=4e-4 = 40x the explicit bound, full 100-action episodes). Timing is
+    amortized over 4 in-program episodes like bench.py; per-env β costs the
+    same for thomas/pcr (elementwise over the batch), and dense requires the
+    env-invariant default β either way."""
+    from pdecontrolgym_tpu.envs.reaction_diffusion import (
+        ReactionDiffusionConfig,
+        ReactionDiffusionEnv,
+    )
+    from pdecontrolgym_tpu.parallel.rollout import rollout
+    from pdecontrolgym_tpu.rewards.tuned import TunedReward1D
+
+    for solver in solvers:
+        cfg = ReactionDiffusionConfig(
+            T=1.0, dt=4e-4, X=1.0, dx=1.0 / 256, control_sample_rate=0.01,
+            scheme="implicit", theta=0.5, implicit_solver=solver,
+        )
+        env = ReactionDiffusionEnv(cfg, TunedReward1D(int(round(cfg.T / cfg.dt))))
+        policy = lambda obs, _k: -0.1 * obs[..., -2]
+        inner = 4
+
+        def episode(key):
+            return rollout(env, policy, num_envs, 100, key)[1].reward.sum()
+
+        def run_fn(key):
+            acc, _ = jax.lax.scan(
+                lambda a, k: (a + episode(k).astype(jnp.float32), ()),
+                jnp.zeros((), jnp.float32),
+                jax.random.split(key, inner),
+            )
+            return acc
+
+        run = jax.jit(run_fn)
+        t0 = time.time()
+        float(np.asarray(run(jax.random.key(0))))
+        compile_s = time.time() - t0
+        best = float("inf")
+        for i in range(repeats):
+            t0 = time.perf_counter()
+            float(np.asarray(run(jax.random.key(i + 1))))
+            best = min(best, time.perf_counter() - t0)
+        rate = num_envs * 100 * cfg.sample_rate * inner / best
+        print(json.dumps({
+            "env": "reaction_diffusion_implicit", "nx": 256,
+            "solver": solver, "value": round(rate), "unit": "sub-steps/s",
+            "compile_s": round(compile_s, 1),
+        }), flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--envs", type=int, default=4096)
     ap.add_argument("--agent-steps", type=int, default=10)
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--rd-implicit", default=None,
+                    help="comma list of implicit solvers to compare "
+                         "(thomas,pcr,dense) instead of the backend sweep")
     # Burgers capped at 2048: the explicit viscous bound dt<=dx^2/(2nu)
     # fails at nx=4096 with the default dt/viscosity
     ap.add_argument("--transport-nx", default="128,256,512,1024,2048,4096")
     ap.add_argument("--burgers-nx", default="128,256,512,1024,2048")
     ap.add_argument("--rd-nx", default="128,256,512,1024,2048")
     args = ap.parse_args()
+
+    if args.rd_implicit:
+        _rd_implicit_rows(args.envs, args.repeats,
+                          [s for s in args.rd_implicit.split(",") if s])
+        return
 
     from pdecontrolgym_tpu.parallel.rollout import rollout
 

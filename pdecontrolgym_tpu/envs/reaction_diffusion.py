@@ -13,8 +13,10 @@ Two schemes:
   which reads the new row).
 - ``implicit`` (TPU-only capability; BASELINE config 3): θ-scheme
   (θ=1 backward Euler, θ=0.5 Crank-Nicolson) on both diffusion and reaction,
-  solved per sub-step by a batched tridiagonal solve (``ops/tridiag``). Stable
-  for any ``dt``, so far fewer sub-steps are needed per control interval.
+  solved per sub-step by a batched tridiagonal solve (``ops/tridiag``: PCR by
+  default, Thomas, or the dense MXU propagator — see
+  ``ReactionDiffusionConfig.implicit_solver``). Stable for any ``dt``, so far
+  fewer sub-steps are needed per control interval.
 """
 
 from __future__ import annotations
@@ -26,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from pdecontrolgym_tpu.envs.common import Boundary1DConfig, Boundary1DEnv
-from pdecontrolgym_tpu.ops.tridiag import thomas
+from pdecontrolgym_tpu.ops.tridiag import pcr, thomas
 
 
 @dataclasses.dataclass(frozen=True)
@@ -37,12 +39,20 @@ class ReactionDiffusionConfig(Boundary1DConfig):
     control_sample_rate: float = 1e-4  # parabolic.py:34 default
     scheme: str = "explicit"  # "explicit" (parity) or "implicit"
     theta: float = 1.0  # implicit only: 1.0 = backward Euler, 0.5 = CN
-    # implicit sub-step solver: "thomas" (batched O(n) sweeps — works with any
-    # per-env β) or "dense" (precompute the affine propagator u⁺ = P·u + q·b
-    # once on the host and apply it as ONE batched matmul per sub-step — the
-    # θ-scheme operators are constant, so the whole solve rides the MXU
-    # instead of 2n sequential VPU scan steps; requires an env-invariant β)
-    implicit_solver: str = "thomas"
+    # implicit sub-step solver:
+    # - "thomas": batched O(n) forward/back sweeps (2n sequential VPU scan
+    #   steps; works with any per-env β)
+    # - "pcr": parallel cyclic reduction, O(log n) fully-vectorized steps
+    #   (works with any per-env β; ~7x thomas at 4096×257 — PERFORMANCE.md)
+    # - "dense": precompute the affine propagator u⁺ = P·u + q·b once on the
+    #   host and apply it as ONE batched matmul per sub-step — the θ-scheme
+    #   operators are constant, so the whole solve rides the MXU; requires an
+    #   env-invariant β
+    # - "auto" (default): pcr — the measured winner among the solvers that
+    #   are correct for ANY β source. dense stays opt-in: it bakes the IC
+    #   sampler's β into the propagator at construction, which would be
+    #   silently wrong for users driving ``init_from`` with a different β
+    implicit_solver: str = "auto"
 
 
 class ReactionDiffusionEnv(Boundary1DEnv):
@@ -52,8 +62,11 @@ class ReactionDiffusionEnv(Boundary1DEnv):
         super().__init__(config, reward, ic_sampler, noise_fn)
         if getattr(config, "scheme", "explicit") not in ("explicit", "implicit"):
             raise ValueError(f"Invalid scheme {config.scheme!r}")
-        if (config.scheme == "implicit"
-                and getattr(config, "implicit_solver", "thomas") == "dense"):
+        solver = getattr(config, "implicit_solver", "auto")
+        if solver not in ("auto", "thomas", "pcr", "dense"):
+            raise ValueError(f"Invalid implicit_solver {solver!r}")
+        self._solver = "pcr" if solver == "auto" else solver
+        if config.scheme == "implicit" and self._solver == "dense":
             # must be built EAGERLY (omnistaging would stage the host
             # precompute if triggered inside a jit trace)
             self._dense_propagator()
@@ -78,7 +91,7 @@ class ReactionDiffusionEnv(Boundary1DEnv):
         c = self.config
         boundary = self._control_fn(control, u_prev[-2])
         if getattr(c, "scheme", "explicit") == "implicit":
-            if getattr(c, "implicit_solver", "thomas") == "dense":
+            if self._solver == "dense":
                 P, q = self._dense_propagator()
                 # one (n,)@(n,n) per env — vmap batches it into a single
                 # (B,n)@(n,n) MXU matmul per sub-step (vs 2n sequential
@@ -166,7 +179,8 @@ class ReactionDiffusionEnv(Boundary1DEnv):
         upper = jnp.where(edge > 0, 0.0, upper)
         diag = jnp.where(edge > 0, 1.0, diag)
         rhs = rhs.at[0].set(0.0).at[-1].set(boundary)
-        return thomas(lower, diag, upper, rhs)
+        solve = pcr if self._solver == "pcr" else thomas
+        return solve(lower, diag, upper, rhs)
 
     def _pallas_spec(self):
         from pdecontrolgym_tpu.core.sensing import is_neumann

@@ -55,7 +55,7 @@ def pcr(lower, diag, upper, rhs):
     """Parallel cyclic reduction: O(log2 n) vectorized elimination steps."""
     a, b, c, d = lower, diag, upper, rhs
     n = d.shape[-1]
-    steps = max(int(jnp.ceil(jnp.log2(max(n, 2)))), 1)
+    steps = max((max(n, 2) - 1).bit_length(), 1)  # ceil(log2(n)), static
 
     def shift(x, k):
         """x[..., i] -> x[..., i-k] with zero fill (k may be negative)."""

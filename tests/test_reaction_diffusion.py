@@ -155,25 +155,41 @@ def test_dense_propagator_matches_thomas():
         kw = dict(T=0.1, dt=4e-4, X=1.0, dx=5e-3, control_sample_rate=4e-3,
                   scheme="implicit", theta=0.5, control_type=control_type)
         env_t = ReactionDiffusionEnv(
-            ReactionDiffusionConfig(**kw), TunedReward1D(250))
+            ReactionDiffusionConfig(**kw, implicit_solver="thomas"),
+            TunedReward1D(250))
         env_d = ReactionDiffusionEnv(
             ReactionDiffusionConfig(**kw, implicit_solver="dense"),
             TunedReward1D(250))
+        # "auto" resolves to PCR (per-env-β-safe measured winner)
+        env_p = ReactionDiffusionEnv(
+            ReactionDiffusionConfig(**kw), TunedReward1D(250))
+        assert env_p._solver == "pcr"
         key = jax.random.key(3)
         st_t, _ = env_t.init(key)
         st_d, _ = env_d.init(key)
-        step_t, step_d = jax.jit(env_t.step), jax.jit(env_d.step)
+        st_p, _ = env_p.init(key)
+        step_t, step_d, step_p = (
+            jax.jit(env_t.step), jax.jit(env_d.step), jax.jit(env_p.step))
         for i in range(4):
             a = jnp.float32(0.3 * (i - 1))
             st_t, out_t = step_t(st_t, a)
             st_d, out_d = step_d(st_d, a)
+            st_p, out_p = step_p(st_p, a)
             scale = np.abs(np.asarray(st_t.u)).max()
             np.testing.assert_allclose(
                 np.asarray(st_d.u), np.asarray(st_t.u),
                 atol=1e-4 * max(1.0, scale),
             )
             np.testing.assert_allclose(
+                np.asarray(st_p.u), np.asarray(st_t.u),
+                atol=1e-4 * max(1.0, scale),
+            )
+            np.testing.assert_allclose(
                 np.asarray(out_d.reward), np.asarray(out_t.reward),
+                rtol=1e-3, atol=1e-3,
+            )
+            np.testing.assert_allclose(
+                np.asarray(out_p.reward), np.asarray(out_t.reward),
                 rtol=1e-3, atol=1e-3,
             )
 
