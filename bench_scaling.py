@@ -33,8 +33,49 @@ def main():
                     help="force N virtual CPU devices (test mode)")
     ap.add_argument("--multihost", default=None,
                     help="coordinator address for jax.distributed")
+    ap.add_argument("--num-processes", type=int, default=None)
+    ap.add_argument("--process-id", type=int, default=0)
+    ap.add_argument("--spawn-procs", type=int, default=0,
+                    help="self-spawn N localhost processes (each with "
+                         "--virtual devices) and mesh over ALL global "
+                         "devices — the real multi-process jax.distributed "
+                         "path, Gloo collectives on CPU")
     ap.add_argument("--repeats", type=int, default=3)
     args = ap.parse_args()
+
+    if args.spawn_procs > 1:
+        # re-exec N-1 workers; this process becomes the coordinator
+        import subprocess
+        port = 29561 + (os.getpid() % 512)
+        cmd = [sys.executable, os.path.abspath(__file__),
+               "--envs-per-device", str(args.envs_per_device),
+               "--agent-steps", str(args.agent_steps),
+               "--repeats", str(args.repeats),
+               "--virtual", str(args.virtual or 2),
+               "--multihost", f"localhost:{port}",
+               "--num-processes", str(args.spawn_procs)]
+        workers = [subprocess.Popen(cmd + ["--process-id", str(i)],
+                                    stdout=subprocess.DEVNULL,
+                                    stderr=subprocess.DEVNULL)
+                   for i in range(1, args.spawn_procs)]
+        args.multihost = f"localhost:{port}"
+        args.num_processes = args.spawn_procs
+        args.process_id = 0
+        args.virtual = args.virtual or 2
+        try:
+            _run(args)
+        finally:
+            # leave the distributed barrier before waiting on workers: their
+            # exit-time shutdown blocks until the coordinator enters it too
+            import jax
+            jax.distributed.shutdown()
+            for w in workers:
+                w.wait(timeout=300)
+        return
+    _run(args)
+
+
+def _run(args):
 
     if args.virtual:
         os.environ["JAX_PLATFORMS"] = "cpu"
@@ -54,7 +95,13 @@ def main():
     from jax.sharding import Mesh, PartitionSpec as P
 
     if args.multihost:
-        jax.distributed.initialize(coordinator_address=args.multihost)
+        from pdecontrolgym_tpu.parallel.mesh import multihost_env_mesh
+
+        multihost_env_mesh(
+            coordinator_address=args.multihost,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
 
     from bench import _build_transport
     from pdecontrolgym_tpu.parallel.mesh import ENV_AXIS
@@ -63,8 +110,12 @@ def main():
     env, policy, _agent_steps, sample_rate = _build_transport(0)
     agent_steps = args.agent_steps
     devices = jax.devices()
-    sizes = [int(s) for s in args.mesh_sizes.split(",")
-             if int(s) <= len(devices)]
+    if args.multihost:
+        # multi-process: one row, the GLOBAL mesh over every device
+        sizes = [len(devices)]
+    else:
+        sizes = [int(s) for s in args.mesh_sizes.split(",")
+                 if int(s) <= len(devices)]
 
     def shard_body(key):
         # per-shard independent rollout; reward psum = the learner's

@@ -102,16 +102,17 @@ class PPOTrainer:
             params=params, opt_state=opt_state, env_state=env_state, obs=obs, key=key
         )
         if self.mesh is not None:
-            shard = NamedSharding(self.mesh, P(ENV_AXIS))
-            repl = NamedSharding(self.mesh, P())
+            # put_global handles multi-process meshes too (device_put rejects
+            # non-addressable shardings): every process runs this same-seed
+            # init and contributes the device blocks it owns
+            from pdecontrolgym_tpu.parallel.mesh import put_global
+
             runner = Runner(
-                params=jax.device_put(runner.params, repl),
-                opt_state=jax.device_put(runner.opt_state, repl),
-                env_state=jax.tree_util.tree_map(
-                    lambda x: jax.device_put(x, shard), runner.env_state
-                ),
-                obs=jax.device_put(runner.obs, shard),
-                key=jax.device_put(runner.key, repl),
+                params=put_global(runner.params, self.mesh, P()),
+                opt_state=put_global(runner.opt_state, self.mesh, P()),
+                env_state=put_global(runner.env_state, self.mesh, P(ENV_AXIS)),
+                obs=put_global(runner.obs, self.mesh, P(ENV_AXIS)),
+                key=put_global(runner.key, self.mesh, P()),
             )
         return runner
 
