@@ -133,13 +133,75 @@ class Boundary1DGymEnv(gym.Env):
         )
 
         self._jit_init = jax.jit(self.fenv.init_from)
-        # the adapter always maintains the reference-style (nt, n) sub-step
-        # history buffer `u` — reference users read env.u for plotting
-        # (e.g. the notebook surface plots) and legacy rewards index it. The
-        # functional API is the fast path; this is the compatibility path.
-        self._jit_step_hist = jax.jit(self.fenv.step_with_history)
+        # The adapter maintains the reference-style (nt, n) sub-step history
+        # buffer `u` — reference users read env.u for plotting (e.g. the
+        # notebook surface plots) and legacy rewards index it every step.
+        # Fast path (native rewards): the buffer lives ON DEVICE and is
+        # updated inside the jitted step, so the per-step host transfer is
+        # just the observation — reading back the (S, n) interval rows
+        # dominated adapter wall time over the tunnel (156.7 -> 36.7 ms/step
+        # measured, docs/PERFORMANCE.md). `env.u` is a property that reads
+        # the device buffer back only when actually accessed.
+        # Legacy-reward mode keeps the host-side buffer: the reward object
+        # indexes the numpy history after every step anyway.
+        self._jit_step_hist = jax.jit(self._step_hist)
+        self._host_history = self._legacy_reward
+        self._jit_step_dev = jax.jit(self._step_dev, donate_argnums=2)
         self._state = None
+        self._ubuf = None
         self.u = np.zeros((self.nt, self.fenv.state_dim), dtype=np.float32)
+
+    @staticmethod
+    def _pack(out, new_state):
+        """Pack obs + (reward, terminated, truncated, time_index) into ONE
+        f32 vector: every separate host read (float()/bool()/np.asarray) is a
+        full tunnel round trip (~30 ms); five of them dominated adapter step
+        time. time_index ≤ nt ≪ 2²⁴ is exact in f32."""
+        return jnp.concatenate([
+            jnp.asarray(out.obs, jnp.float32).reshape(-1),
+            jnp.stack([
+                jnp.asarray(out.reward, jnp.float32),
+                out.terminated.astype(jnp.float32),
+                out.truncated.astype(jnp.float32),
+                new_state.time_index.astype(jnp.float32),
+            ]),
+        ])
+
+    def _step_hist(self, state, action):
+        new_state, out, rows = self.fenv.step_with_history(state, action)
+        return new_state, self._pack(out, new_state), rows
+
+    def _step_dev(self, state, action, ubuf):
+        """Jitted step that also advances the device-resident history buffer.
+
+        ``ubuf`` has ``S`` margin rows past ``nt``: on a partial (terminal)
+        interval the frozen tail rows of the interval land in the margin
+        (``dynamic_update_slice`` start = time_index+1 ≤ nt never clamps), so
+        no per-row masking is needed; ``env.u`` exposes ``ubuf[:nt]``.
+        """
+        new_state, out, rows = self.fenv.step_with_history(state, action)
+        ubuf = jax.lax.dynamic_update_slice(
+            ubuf, rows, (state.time_index + 1, jnp.int32(0))
+        )
+        return new_state, self._pack(out, new_state), ubuf
+
+    @property
+    def u(self):
+        if self._host_history or self._ubuf is None:
+            return self._u_host
+        return np.asarray(self._ubuf[: self.nt])
+
+    @u.setter
+    def u(self, value):
+        # keep plain assignment working (reference users own `env.u`)
+        self._u_host = np.asarray(value)
+        if not self._host_history and self._ubuf is not None:
+            S = self.config.sample_rate
+            buf = jnp.zeros((self.nt + S, self.fenv.state_dim),
+                            self.config.dtype)
+            self._ubuf = buf.at[: self._u_host.shape[0]].set(
+                jnp.asarray(self._u_host, self.config.dtype)
+            )
 
     @property
     def state_dim(self) -> int:
@@ -160,28 +222,42 @@ class Boundary1DGymEnv(gym.Env):
             jnp.asarray(init_condition, jnp.float32), jnp.asarray(beta, jnp.float32)
         )
         self.time_index = 0
-        self.u = np.zeros((self.nt, self.fenv.state_dim), dtype=np.float32)
-        self.u[0] = np.asarray(self._state.u)
+        if self._host_history:
+            self.u = np.zeros((self.nt, self.fenv.state_dim), dtype=np.float32)
+            self._u_host[0] = np.asarray(self._state.u)
+        else:
+            S = self.config.sample_rate
+            self._ubuf = jnp.zeros(
+                (self.nt + S, self.fenv.state_dim), self.config.dtype
+            ).at[0].set(self._state.u)
         return self.sensing_noise_func(np.asarray(obs)), {}
 
     def step(self, control):
         control = np.asarray(control, dtype=np.float32).reshape(-1)[0]
         prev_t = self.time_index
-        self._state, out, rows = self._jit_step_hist(self._state, control)
-        self.time_index = int(self._state.time_index)
-        obs = self.sensing_noise_func(np.asarray(out.obs))
-        terminate = bool(out.terminated)
-        truncate = bool(out.truncated)
-        executed = self.time_index - prev_t
-        if executed:
-            self.u[prev_t + 1 : prev_t + 1 + executed] = np.asarray(rows)[:executed]
+        if self._host_history:
+            self._state, packed, rows = self._jit_step_hist(self._state, control)
+        else:
+            self._state, packed, self._ubuf = self._jit_step_dev(
+                self._state, control, self._ubuf
+            )
+        vec = np.asarray(packed)  # the ONE host read of this step
+        obs = self.sensing_noise_func(vec[:-4])
+        reward = float(vec[-4])
+        terminate = bool(vec[-3])
+        truncate = bool(vec[-2])
+        self.time_index = int(vec[-1])
+        if self._host_history:
+            executed = self.time_index - prev_t
+            if executed:
+                self._u_host[prev_t + 1 : prev_t + 1 + executed] = (
+                    np.asarray(rows)[:executed]
+                )
         if self._legacy_reward:
             reward = self.reward_class.reward(
                 self.u, self.time_index, terminate, truncate,
                 self.u[self.time_index][-1],
             )
-        else:
-            reward = float(out.reward)
         return obs, reward, terminate, truncate, {}
 
     def terminate(self):

@@ -91,6 +91,29 @@ def test_gym_make_neuron():
     assert np.isfinite(obs).all() and not term
 
 
+def test_device_history_matches_host_history():
+    """The fast path keeps the (nt, n) history buffer on DEVICE (one packed
+    host read per step); it must expose exactly the same ``env.u`` as the
+    host-buffer mode used for legacy rewards — including past termination,
+    where the frozen interval tail lands in the buffer's margin rows."""
+    from pdecontrolgym_tpu.compat.adapter import TransportPDE1D
+
+    mk = lambda: TransportPDE1D(**_params())
+    fast, slow = mk(), mk()
+    assert not fast._host_history  # native reward -> device-history path
+    slow._host_history = True
+    fast.reset(seed=0)
+    slow.reset(seed=0)
+    for i in range(12):  # 10 steps terminate the episode; 2 past-terminal
+        of, rf, tf, cf, _ = fast.step(np.float32(0.1 * (i % 3)))
+        os_, rs, ts, cs, _ = slow.step(np.float32(0.1 * (i % 3)))
+        np.testing.assert_array_equal(of, os_)
+        assert (rf, tf, cf) == (rs, ts, cs)
+        assert fast.time_index == slow.time_index
+    np.testing.assert_array_equal(fast.u, slow.u)
+    assert fast.u.shape == (fast.nt, fast.state_dim)
+
+
 def test_legacy_reference_reward_object_through_adapter():
     """Pass the REFERENCE's own TunedReward1D instance (ABC-style signature,
     full-history indexing) through the TPU adapter: rewards must match the
