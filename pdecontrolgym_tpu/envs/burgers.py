@@ -43,12 +43,14 @@ class BurgersConfig(Boundary1DConfig):
 
 class BurgersEnv(Boundary1DEnv):
     def _pallas_auto(self) -> bool:
-        # pallas won at every swept size (nx<=2048) for this scheme; XLA on
-        # CPU, and above 2048 where the padded transposed scratch hits
-        # Mosaic's scoped-VMEM limit (same cap as transport/RD)
+        # pallas won at every swept size for this scheme; XLA on CPU. The
+        # round-2 VMEM cliff above 2048 is gone (single-buffered column
+        # blocks + full-VMEM ceiling, ops/pallas1d); cap at the largest
+        # transport/RD-measured size (the explicit viscous dt bound rules the
+        # default config out at nx>=4096 anyway — sweep note)
         import jax
 
-        return self.state_dim <= 2048 and jax.default_backend() != "cpu"
+        return self.state_dim <= 16384 and jax.default_backend() != "cpu"
 
     def _advance(self, u_prev, beta, control):
         c = self.config

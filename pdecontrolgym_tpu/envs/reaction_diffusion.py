@@ -78,13 +78,14 @@ class ReactionDiffusionEnv(Boundary1DEnv):
     def _pallas_auto(self) -> bool:
         # crossover sweep (docs/PERFORMANCE.md): the transposed kernel wins at
         # every swept size for the explicit FTCS body — 101M vs 89M
-        # sub-steps/s at nx=128, widening to 3.2x at nx=2048 (62M vs 19M) as
-        # the XLA carry spills. Measured through state 2049 (nx=2048);
-        # Mosaic's scoped-VMEM limit OOMs near 4096 rows, so cap there.
+        # sub-steps/s at nx=128, widening as the XLA carry spills: 3.2x at
+        # nx=2048 (62M vs 19M), 9.9x at 4096 (43.5M vs 4.4M), 11.5x at 8192
+        # (23.5M vs 2.1M). The round-2 VMEM cliff above 2048 is gone
+        # (single-buffered column blocks + full-VMEM ceiling, ops/pallas1d).
         import jax
 
         return (getattr(self.config, "scheme", "explicit") == "explicit"
-                and 128 <= self.state_dim <= 2056
+                and 128 <= self.state_dim <= 16384
                 and jax.default_backend() != "cpu")
 
     def _advance(self, u_prev, beta, control):

@@ -27,12 +27,15 @@ class TransportEnv(Boundary1DEnv):
         # crossover sweep with the transposed kernel (docs/PERFORMANCE.md):
         # Pallas wins from nx=128 up (full-episode 2.53B vs XLA's 2.19B at
         # 128; 884M vs 466M at 256, widening as the XLA carry spills: 140M vs
-        # 36M at 2048). XLA still wins for tiny states (1.18B vs 1.07B at
-        # nx=64) and above 2048, where the padded scratch blows the Mosaic
-        # scoped-VMEM limit (17.8M vs 16M at nx=4096).
+        # 36M at 2048; 88.6M vs 6.5M at 4096; 45.0M vs 3.0M at 8192; 22.6M vs
+        # 1.5M at 16384 — the round-2 VMEM cliff is gone: the column blocks
+        # single-buffer for D >= 3072 and the kernel claims the full VMEM
+        # ceiling, ops/pallas1d). XLA still wins only for tiny states (1.18B
+        # vs 1.07B at nx=64); above the largest measured size stay on XLA
+        # (compile time grows superlinearly: 170 s at 16384).
         import jax
 
-        return 128 <= self.state_dim <= 2048 and jax.default_backend() != "cpu"
+        return 128 <= self.state_dim <= 16384 and jax.default_backend() != "cpu"
 
     def _advance(self, u_prev, beta, control):
         c = self.config

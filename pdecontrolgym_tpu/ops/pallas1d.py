@@ -176,12 +176,22 @@ def make_interval_fn_t(
         betat = jnp.zeros((D, Bp), u.dtype).at[:Ds, :B].set(beta.T)
         ctrlt = jnp.zeros((1, Bp), u.dtype).at[:, :B].set(ctrl.T)
         t0t = jnp.zeros((1, Bp), jnp.int32).at[:, :B].set(t0.T)
+        # Large states: single-buffer the (D, tb) column blocks. The default
+        # pipeline double-buffers every operand, and at D=4096 the 3 big
+        # blocks' double buffers + scratch requested 17.8 MB > 16 MB VMEM
+        # (the round-2 cliff where auto fell back to XLA at 5.9M sub-steps/s).
+        # The kernel runs the WHOLE S-sub-step interval per tile, so compute
+        # dominates the tile DMA by ~10⁴ and prefetch overlap is worthless:
+        # buffer_count=1 halves the footprint (fits through D≈7600) at no
+        # measured cost (4096-row rates within noise of the 2048 crossover
+        # trend — docs/PERFORMANCE.md §4).
+        big = pl.Buffered(buffer_count=1) if D >= 3072 else None
         col_spec = pl.BlockSpec((D, tb), lambda i: (0, i),
-                                memory_space=pltpu.VMEM)
+                                memory_space=pltpu.VMEM, pipeline_mode=big)
         row_spec = pl.BlockSpec((1, tb), lambda i: (0, i),
                                 memory_space=pltpu.VMEM)
         norm_spec = pl.BlockSpec((Wp, tb), lambda i: (0, i),
-                                 memory_space=pltpu.VMEM)
+                                 memory_space=pltpu.VMEM, pipeline_mode=big)
         u_out, norms, bsum, t_out = pl.pallas_call(
             kernel,
             grid=(Bp // tb,),
@@ -195,6 +205,13 @@ def make_interval_fn_t(
             ],
             scratch_shapes=[pltpu.VMEM((NP, tb), u.dtype)],
             interpret=interpret,
+            # the default scoped-vmem budget reserves headroom we don't need
+            # (no nested scopes, no spills): claim the full 128 MiB ceiling
+            # so D=8192 (16.05 MiB of blocks+scratch) compiles. Mosaic still
+            # fails loudly if the physical core can't satisfy it.
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                vmem_limit_bytes=128 * 1024 * 1024,
+            ),
         )(ut, betat, ctrlt, t0t)
         return (u_out[:Ds, :B].T, norms[:, :B].T, bsum[:, :B].T,
                 t_out[:, :B].T)
