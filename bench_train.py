@@ -1,0 +1,86 @@
+"""Training throughput: PPO train_step with the learner IN the loop.
+
+Rollout-only numbers (bench.py) bound the env engine; this is the number a
+user of the full stack gets — each iteration is one jitted program containing
+the policy rollout (num_steps agent actions x 4096 envs, each action
+zero-order-held for `sample_rate` PDE sub-steps), GAE, and
+epochs x minibatches clipped-surrogate updates. Timing scans ``--inner``
+train iterations inside ONE dispatch (fresh data each — the runner carry
+advances), amortizing the tunnel's ~30 ms intercept like bench.py.
+
+Prints ONE JSON line:
+    {"metric": "ppo train env-steps/s", "agent_steps_per_s": ...,
+     "pde_substeps_per_s": ..., ...}
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--envs", type=int, default=4096)
+    ap.add_argument("--num-steps", type=int, default=16)
+    ap.add_argument("--inner", type=int, default=4)
+    ap.add_argument("--repeats", type=int, default=5)
+    ap.add_argument("--nx", type=int, default=128)
+    args = ap.parse_args()
+
+    from pdecontrolgym_tpu.agents.ppo import PPOConfig, PPOTrainer
+    from pdecontrolgym_tpu.envs.common import Boundary1DConfig
+    from pdecontrolgym_tpu.envs.transport import TransportEnv
+    from pdecontrolgym_tpu.rewards.tuned import TunedReward1D
+
+    # the bench.py transport config (BASELINE config 1): 1000 PDE sub-steps
+    # per agent action
+    cfg = Boundary1DConfig(
+        T=5.0, dt=1e-4, X=1.0, dx=1.0 / args.nx, control_sample_rate=0.1,
+        limit_pde_state_size=True, max_state_value=1e10,
+    )
+    env = TransportEnv(cfg, TunedReward1D(cfg.nt - 1, -1e3, 3e2))
+    trainer = PPOTrainer(env, PPOConfig(
+        num_envs=args.envs, num_steps=args.num_steps,
+        num_epochs=4, num_minibatches=4, hidden=(128, 128),
+    ))
+
+    runner = trainer.init(jax.random.key(0))
+
+    @jax.jit
+    def run(runner):
+        def body(r, _):
+            r, metrics = trainer._train_step_local(r)
+            return r, metrics["loss"]
+        runner, losses = jax.lax.scan(body, runner, None, length=args.inner)
+        return runner, losses.sum()
+
+    t0 = time.time()
+    runner, s = run(runner)
+    float(np.asarray(s))  # tunnel-honest readback
+    compile_s = time.time() - t0
+    best = float("inf")
+    for _ in range(args.repeats):
+        t0 = time.perf_counter()
+        runner, s = run(runner)
+        float(np.asarray(s))
+        best = min(best, time.perf_counter() - t0)
+
+    agent_steps = args.inner * args.envs * args.num_steps
+    rate = agent_steps / best
+    print(json.dumps({
+        "metric": "ppo train env-steps/s (learner in loop)",
+        "envs": args.envs, "num_steps": args.num_steps,
+        "agent_steps_per_s": round(rate),
+        "pde_substeps_per_s": round(rate * cfg.sample_rate),
+        "unit": "agent env-steps/s",
+        "compile_s": round(compile_s, 1),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

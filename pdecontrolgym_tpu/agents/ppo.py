@@ -86,6 +86,19 @@ class PPOTrainer:
             raise ValueError(
                 f"num_envs={config.num_envs} must divide over mesh size {mesh.size}"
             )
+        # Rollout stepping: the fused batched step (Pallas interval kernel
+        # where the env supports it, cond-gated autoreset) instead of
+        # per-env vmap(autoreset_step) — 1.64x train_step throughput at
+        # 4096 envs (bench_train.py, docs/PERFORMANCE.md). Envs with sensing
+        # noise keep the per-env path: the fused step drops per-env noise keys.
+        if getattr(env, "noise_fn", None) is None:
+            from pdecontrolgym_tpu.parallel.rollout import batch_step
+
+            self._env_step = batch_step(env, autoreset=True)
+        else:
+            self._env_step = lambda state, actions, key: jax.vmap(
+                env.autoreset_step
+            )(state, actions, jax.random.split(key, actions.shape[0]))
 
     # -- initialization -------------------------------------------------------
 
@@ -158,12 +171,8 @@ class PPOTrainer:
             act_key, reset_key = jax.random.split(step_key)
             mean, log_std, value = self.net.apply(runner.params, obs)
             action, logp = sample_action(mean, log_std, act_key)
-            n = obs.shape[0]
             env_action = action[:, 0] if self.env.action_dim == 1 else action
-            reset_keys = jax.random.split(reset_key, n)
-            env_state, out = jax.vmap(self.env.autoreset_step)(
-                env_state, env_action, reset_keys
-            )
+            env_state, out = self._env_step(env_state, env_action, reset_key)
             done = jnp.logical_or(out.terminated, out.truncated)
             next_obs = out.obs
             if cfg.obs_clip > 0:

@@ -13,7 +13,91 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["surface_1d", "spacetime_1d", "ns_fields"]
+__all__ = ["surface_1d", "spacetime_1d", "ns_fields",
+           "load_csv", "load_csv_all", "load_jsonl", "reward_curves",
+           "linestyle_tuple"]
+
+# the reference's linestyle table for multi-curve figures
+# (examples/transportPDE/utils.py:90-106, duplicated x3 there)
+linestyle_tuple = [
+    ("solid", "solid"),
+    ("dotted", (0, (1, 1))),
+    ("dashed", (0, (5, 5))),
+    ("dashdotted", (0, (3, 5, 1, 5))),
+    ("densely dashed", (0, (5, 1))),
+    ("densely dashdotted", (0, (3, 1, 1, 1))),
+    ("dashdotdotted", (0, (3, 5, 1, 5, 1, 5))),
+    ("loosely dashed", (0, (5, 10))),
+]
+
+
+def load_csv(filename):
+    """TensorBoard-exported scalar CSV → ``(timesteps, rewards)``.
+
+    Same contract as the reference's figure pipeline
+    (``examples/transportPDE/utils.py:58-70``): rows are
+    ``walltime,step,value`` with one header line.
+    """
+    data = np.genfromtxt(filename, delimiter=",", skip_header=1)
+    data = np.atleast_2d(data)
+    return data[:, 1].astype(int).tolist(), data[:, 2].astype(float).tolist()
+
+
+def load_csv_all(filename):
+    """Like :func:`load_csv` but also returns wall time
+    (``examples/transportPDE/utils.py:72-88``):
+    ``(walltime, timesteps, rewards)``."""
+    data = np.genfromtxt(filename, delimiter=",", skip_header=1)
+    data = np.atleast_2d(data)
+    return (data[:, 0].astype(float).tolist(),
+            data[:, 1].astype(int).tolist(),
+            data[:, 2].astype(float).tolist())
+
+
+def load_jsonl(filename, key="mean_reward"):
+    """``utils.metrics.MetricsLogger`` JSONL → ``(steps, values)`` for the
+    given metric key (rows missing the key are skipped)."""
+    import json
+
+    steps, values = [], []
+    with open(filename) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            row = json.loads(line)
+            if key in row:
+                steps.append(int(row["step"]))
+                values.append(float(row[key]))
+    return steps, values
+
+
+def reward_curves(curves, labels=None, ax=None, smooth=1, xlabel="iteration",
+                  ylabel="mean episode reward"):
+    """Reward-vs-steps training-curve figure (the reference builds these from
+    TB CSV exports in its docs; ``examples/transportPDE/utils.py:58-106``).
+
+    ``curves``: list of ``(steps, values)`` pairs — from :func:`load_csv` or
+    :func:`load_jsonl`. ``smooth``: centered moving-average window. Returns
+    the ``Axes``.
+    """
+    plt = _require_pyplot()
+    if ax is None:
+        _, ax = plt.subplots(figsize=(5.5, 3.4))
+    labels = labels or [f"run {i}" for i in range(len(curves))]
+    for i, ((steps, values), label) in enumerate(zip(curves, labels)):
+        v = np.asarray(values, float)
+        if smooth > 1 and v.size >= smooth:
+            kern = np.ones(smooth) / smooth
+            v = np.convolve(v, kern, mode="valid")
+            steps = np.asarray(steps)[smooth - 1:]
+        ax.plot(steps, v, label=label,
+                linestyle=linestyle_tuple[i % len(linestyle_tuple)][1])
+    ax.set_xlabel(xlabel)
+    ax.set_ylabel(ylabel)
+    ax.legend()
+    ax.figure.tight_layout()
+    return ax
 
 
 def _require_pyplot():

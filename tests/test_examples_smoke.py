@@ -119,3 +119,13 @@ def test_eval_compare_rd_sac_smoke(capsys):
           "--eval-every", "1"])
     out = capsys.readouterr().out
     assert "backstepping" in out and "sac" in out
+
+
+def test_plot_training_curves_smoke(tmp_path, capsys):
+    """The figure pipeline regenerates from the COMMITTED training run."""
+    out = str(tmp_path / "curve.png")
+    _run("examples/plot_training_curves.py", ["--out", out])
+    assert "wrote" in capsys.readouterr().out
+    import os
+
+    assert os.path.getsize(out) > 1000
