@@ -127,6 +127,16 @@ class SACTrainer:
         self.critic = TwinCritic(config.hidden)
         self.tx = optax.adam(config.lr)
         self.target_entropy = -float(self.adim)
+        # fused batched env step (Pallas interval kernel + cond-gated
+        # autoreset) — same swap as PPOTrainer; noise-free envs only
+        if getattr(env, "noise_fn", None) is None:
+            from pdecontrolgym_tpu.parallel.rollout import batch_step
+
+            self._env_step = batch_step(env, autoreset=True)
+        else:
+            self._env_step = lambda state, actions, key: jax.vmap(
+                env.autoreset_step
+            )(state, actions, jax.random.split(key, actions.shape[0]))
         if mesh is not None:
             if config.num_envs % mesh.size or config.buffer_size % mesh.size:
                 raise ValueError(
@@ -247,9 +257,7 @@ class SACTrainer:
             act, _ = _squash(mean, log_std, a_key)
             env_action = self._scale(act)
             ea = env_action[:, 0] if self.adim == 1 else env_action
-            env_state, out = jax.vmap(self.env.autoreset_step)(
-                env_state, ea, jax.random.split(r_key, n_local)
-            )
+            env_state, out = self._env_step(env_state, ea, r_key)
             done = jnp.logical_or(out.terminated, out.truncated)
             idx = (buffer.ptr + jnp.arange(n_local)) % cap
             buffer = buffer.replace(

@@ -44,13 +44,9 @@ def batch_step(env, autoreset: bool = True):
     def step(state, actions, key):
         next_state, out = raw_step(state, actions)
         done = jnp.logical_or(out.terminated, out.truncated)
-        n = jax.tree_util.tree_leaves(state)[0].shape[0]
+        leaves = jax.tree_util.tree_leaves(state)
+        n = leaves[0].shape[0]
 
-        # Reset work (fresh ICs + a full-state select) is branch-gated on
-        # "any env actually ended": on non-terminal steps the identity branch
-        # runs instead. For large-field envs the ungated version dominated —
-        # re-sampling 3 fresh (B, 64, 64) NS fields and tree-selecting every
-        # step cost more than the projection step itself (~2x end-to-end).
         def do_reset(operand):
             next_state, out, key = operand
             fresh_state, fresh_obs = jax.vmap(env.init)(jax.random.split(key, n))
@@ -61,6 +57,26 @@ def batch_step(env, autoreset: bool = True):
 
             new_state = jax.tree_util.tree_map(sel, fresh_state, next_state)
             return new_state, out.replace(obs=sel(fresh_obs, out.obs))
+
+        # Whether to branch-gate the reset work (fresh ICs + full-state
+        # select) on "any env actually ended" is a measured size tradeoff
+        # that FLIPPED for small states with the round-3 XLA:
+        # - large-field envs (NS: 3 fresh (B,64,64) fields ≈ 49 KB/env) still
+        #   want the cond — re-sampling every step costs more than the
+        #   projection step itself (839K vs 761K env-steps/s gated/ungated);
+        # - small-state envs are now 2.4x FASTER ungated (traffic 262M vs
+        #   110M; the cond in the scan body blocks fusion and forces the
+        #   whole carry to materialize around the branch).
+        # Shapes are static at trace time, so this picks one path per env.
+        def _nbytes(l):
+            try:
+                return l.size * l.dtype.itemsize
+            except Exception:  # extended dtypes (PRNG keys) lack itemsize
+                return l.size * 4
+
+        per_env_bytes = sum(_nbytes(l) for l in leaves) // max(n, 1)
+        if per_env_bytes < 16384:
+            return do_reset((next_state, out, key))
 
         def no_reset(operand):
             next_state, out, _ = operand
