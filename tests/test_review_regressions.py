@@ -160,3 +160,65 @@ def test_partial_terminal_interval_fallthrough_semantics():
             assert abs(float(out.reward)) < 10.0 and abs(rrew) < 10.0
             np.testing.assert_allclose(rrew, float(out.reward), atol=2.0)
     assert rterm  # second interval was partial (50 of 100 sub-steps)
+
+
+def test_autoreset_gate_paths_equivalent():
+    """batch_step picks ungated vs cond-gated reset by per-env state size
+    (rollout.py); both paths must produce identical trajectories. Forced by
+    stepping the same small env through both code paths (the size heuristic
+    is trace-time, so we call the internals directly)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pdecontrolgym_tpu.envs.common import Boundary1DConfig
+    from pdecontrolgym_tpu.envs.transport import TransportEnv
+    from pdecontrolgym_tpu.parallel.rollout import batch_init, batch_step
+    from pdecontrolgym_tpu.rewards.tuned import TunedReward1D
+
+    cfg = Boundary1DConfig(T=0.3, dt=1e-3, X=1.0, dx=1.0 / 32,
+                           control_sample_rate=1e-2)
+    env = TransportEnv(cfg, TunedReward1D(cfg.nt - 1))
+    B = 8
+    state, obs = batch_init(env, B)(jax.random.key(0))
+    step = batch_step(env, autoreset=True)
+
+    # compare the two paths directly: the ungated step (what the size
+    # heuristic picks for this small state) vs a manual cond-gated mirror,
+    # over an episode that terminates inside the scan (nt-1 = 300 sub-steps
+    # -> terminal at agent step 30 when scanning 35)
+    def rollout(step_fn, steps=35):
+        def body(c, k):
+            st, ob = c
+            a = -0.5 * ob[..., -2]
+            st, out = step_fn(st, a, k)
+            return (st, out.obs), (out.obs, out.reward, out.terminated)
+        keys = jax.random.split(jax.random.key(1), steps)
+        (_, _), outs = jax.lax.scan(body, (state, obs), keys)
+        return outs
+
+    ungated = jax.jit(lambda: rollout(step))()
+
+    # build a cond-gated step manually (mirrors the >=16KB branch)
+    def gated(st, actions, key):
+        next_state, out = env.step_batch(st, actions)
+        done = jnp.logical_or(out.terminated, out.truncated)
+
+        def do_reset(op):
+            ns, o, k = op
+            fs, fo = jax.vmap(env.init)(jax.random.split(k, B))
+            sel = lambda a, b: jnp.where(
+                done.reshape(done.shape + (1,) * (a.ndim - done.ndim)), a, b)
+            return jax.tree_util.tree_map(sel, fs, ns), o.replace(obs=sel(fo, o.obs))
+
+        return jax.lax.cond(done.any(), do_reset, lambda op: (op[0], op[1]),
+                            (next_state, out, key))
+
+    gated_outs = jax.jit(lambda: rollout(gated))()
+    # semantically identical; the two compiled programs fuse the reward
+    # reduction differently, so allow f32 rounding-level differences
+    for a, b in zip(jax.tree_util.tree_leaves(ungated),
+                    jax.tree_util.tree_leaves(gated_outs)):
+        np.testing.assert_allclose(np.asarray(a, np.float64),
+                                   np.asarray(b, np.float64),
+                                   rtol=1e-4, atol=1e-5)
