@@ -69,6 +69,14 @@ class NavierStokesConfig:
     # matmuls (ops/poisson2d.direct_pressure) — the fast mode; it ignores
     # maximum_pressure_iteration and is MORE accurate than any finite sweep.
     pressure_solver: str = "jacobi"
+    # step_batch's tracking-target lookup. True (default): ONE shared
+    # U_ref[t] slice for the whole batch — NS batches are always
+    # time-lockstep through the public APIs (fixed-length episodes that never
+    # truncate + batched init/autoreset), and the runtime lockstep-check cond
+    # costs 13% end-to-end on the current XLA (841K vs 953K env-steps/s).
+    # False: runtime `(t == t[0]).all()` cond falling back to a per-env
+    # gather — only needed for hand-built batches with mixed time indices.
+    lockstep_targets: bool = True
     # per-edge (u_condition, v_condition) ordered (lower, upper, left, right);
     # default mirrors the examples' dict: controllable lid at the upper edge
     # (``NS2Dppo.py:21-26``). Use freeze_boundary_condition() to convert a dict.
@@ -333,10 +341,13 @@ class NavierStokesEnv(FunctionalEnv):
         Under ``vmap(env.step)`` the per-env ``U_ref[t]`` row lookup lowers to
         a TPU gather that costs more than the whole projection step (1305 vs
         116 µs/step at 2048 envs × 64×64). NS episodes never truncate, so a
-        rollout batch is time-lockstep in practice; this path checks that at
-        runtime and branches to ONE shared dynamic slice (broadcast fuses into
-        the reward reduce), keeping the per-env gather only as the fallback
-        for genuinely divergent times."""
+        rollout batch is ALWAYS time-lockstep through the public APIs (fixed
+        nt-1-step episodes, no truncation, batched init/autoreset), so by
+        default (``config.lockstep_targets``) the shared slice is used
+        unconditionally — the runtime lockstep-check cond cost 13%
+        end-to-end on the round-3 XLA. ``lockstep_targets=False`` restores
+        the runtime check with the per-env gather fallback for hand-built
+        mixed-time batches."""
         new_state, frames, terminated, ts = jax.vmap(self._advance)(state, actions)
 
         def shared_ref(_):
@@ -351,7 +362,12 @@ class NavierStokesEnv(FunctionalEnv):
                 frames, ts, terminated, actions, self.U_ref[ts], self.action_ref[ts]
             )
 
-        reward = jax.lax.cond((ts == ts[0]).all(), shared_ref, gathered_ref, None)
+        if getattr(self.config, "lockstep_targets", True):
+            reward = shared_ref(None)
+        else:
+            reward = jax.lax.cond(
+                (ts == ts[0]).all(), shared_ref, gathered_ref, None
+            )
         return new_state, StepOut(
             obs=frames,
             reward=reward,
