@@ -385,7 +385,7 @@ class TrafficPDE1D(gym.Env):
 
         self._key = jax.random.key(seed)
         self._jit_init = jax.jit(self.fenv.init)
-        self._jit_step = jax.jit(self.fenv.step)
+        self._jit_step = jax.jit(self._step_packed)
         self._state, obs = self._jit_init(self._next_key())
         self.time_index = 0
         self.info = {"V": np.asarray(self.fenv._velocity(self._state)).reshape(-1, 1)}
@@ -393,6 +393,23 @@ class TrafficPDE1D(gym.Env):
     def _next_key(self):
         self._key, sub = jax.random.split(self._key)
         return sub
+
+    def _step_packed(self, state, action):
+        """One packed host read per step (obs ‖ v ‖ reward/term/trunc/time):
+        each separate float()/bool()/np.asarray is a ~30 ms tunnel round trip
+        (docs/PERFORMANCE.md item 14)."""
+        new_state, out = self.fenv.step(state, action)
+        v = self.fenv._velocity(new_state)
+        w = jnp.result_type(out.obs.dtype, new_state.time_index.dtype)
+        tail = jnp.stack([
+            out.reward.astype(w),
+            out.terminated.astype(w),
+            out.truncated.astype(w),
+            new_state.time_index.astype(w),
+        ])
+        return new_state, jnp.concatenate(
+            [out.obs.astype(w), v.astype(w), tail]
+        )
 
     @property
     def r(self):
@@ -415,12 +432,17 @@ class TrafficPDE1D(gym.Env):
         return np.asarray(obs, np.float64), {}
 
     def step(self, action):
-        self._state, out = self._jit_step(
+        self._state, packed = self._jit_step(
             self._state, jnp.asarray(np.asarray(action, np.float64).reshape(-1))
         )
-        self.time_index = float(self._state.time_index)
-        reward = float(out.reward)
-        terminated = bool(out.terminated)
+        vec = np.asarray(packed, np.float64)  # the ONE host read
+        nobs = 2 * self.M
+        obs = vec[:nobs]
+        v = vec[nobs:nobs + self.M]
+        reward = float(vec[-4])
+        terminated = bool(vec[-3])
+        truncated = bool(vec[-2])
+        self.time_index = float(vec[-1])
         if self._legacy_reward:
             reward = float(
                 self.reward_class.reward(self.vs, self.rs, self.v, self.r)
@@ -434,11 +456,11 @@ class TrafficPDE1D(gym.Env):
                     time_terminated or reward > self.config.early_stop_threshold
                 )
         return (
-            np.asarray(out.obs, np.float64),
+            obs,
             reward,
             terminated,
-            bool(out.truncated),
-            {"V": self.v},
+            truncated,
+            {"V": v.reshape(-1, 1)},
         )
 
 
@@ -506,9 +528,22 @@ class NeuronPDE1D(gym.Env):
             shape=(1,), dtype="float32",
         )
         self._jit_init = jax.jit(self.fenv.init)
-        self._jit_step = jax.jit(self.fenv.step)
+        self._jit_step = jax.jit(self._step_packed)
         self._state = None
         self.time_index = 0.0
+
+    def _step_packed(self, state):
+        """One packed host read per step (docs/PERFORMANCE.md item 14)."""
+        new_state, out = self.fenv.step(state)
+        w = jnp.result_type(out.obs.dtype, new_state.time_index.dtype)
+        tail = jnp.stack([
+            out.reward.astype(w),
+            out.terminated.astype(w),
+            out.truncated.astype(w),
+            out.info["L"].astype(w),  # exact in f32: L <= M << 2^24
+            new_state.time_index.astype(w),
+        ])
+        return new_state, jnp.concatenate([out.obs.reshape(-1).astype(w), tail])
 
     @property
     def L(self):
@@ -532,21 +567,23 @@ class NeuronPDE1D(gym.Env):
         return self.sensing_noise_func(obs), {}
 
     def step(self, action=None):
-        self._state, out = self._jit_step(self._state)
-        self.time_index = float(self._state.time_index)
-        L = int(out.info["L"])
-        obs = np.asarray(out.obs)
+        self._state, packed = self._jit_step(self._state)
+        vec = np.asarray(packed)  # the ONE host read
+        obs = vec[:-5]
+        reward = float(vec[-5])
+        terminated = bool(vec[-4])
+        truncated = bool(vec[-3])
+        L = int(vec[-2])
+        self.time_index = float(vec[-1])
         if self._full_sensing:
             obs = obs[:L]
         obs = self.sensing_noise_func(obs)
-        reward = float(out.reward)
         if self._legacy_reward and self.reward_class is not None:
             u2d = np.asarray(self._state.u).reshape(-1, 1)
             reward = self.reward_class.reward(
-                u2d, self.time_index, bool(out.terminated), bool(out.truncated),
-                u2d[L],
+                u2d, self.time_index, terminated, truncated, u2d[L],
             )
-        return obs, reward, bool(out.terminated), bool(out.truncated), {}
+        return obs, reward, terminated, truncated, {}
 
 
 class BrainTumor1D(gym.Env):
@@ -626,18 +663,47 @@ class BrainTumor1D(gym.Env):
         )
 
         self._jit_init = jax.jit(self.fenv.init_from)
-        self._jit_step = jax.jit(self.fenv.step)
+        self._jit_step = jax.jit(self._step_packed)
         self._state = None
         self._t_benchmark = None
+        self._stage_cache = None
         self.u = np.zeros((cfg.nt, cfg.nx))
         self.t1_radius_idx_vs_time = np.zeros(cfg.nt)
         self.dosage_vs_time = np.zeros(cfg.nt)
         self.time_index = 0
 
+    def _step_packed(self, state, control):
+        """One packed host read per step: the previous version made ~9
+        separate reads (obs, reward, flags, time, stage, two dosage reads and
+        an extra tumor_radius dispatch), each a ~30 ms tunnel round trip —
+        and TherapyWrapper loops whole stages through step()
+        (docs/PERFORMANCE.md item 14)."""
+        new_state, out = self.fenv.step(state, control)
+        t1, has = self.fenv.tumor_radius(
+            new_state.u, self.config.t1_detection_threshold
+        )
+        dose_delta = state.remaining_dosage - new_state.remaining_dosage
+        w = jnp.result_type(out.obs.dtype, jnp.float32)
+        tail = jnp.stack([
+            out.reward.astype(w),
+            out.terminated.astype(w),
+            out.truncated.astype(w),
+            new_state.time_index.astype(w),
+            t1.astype(w),
+            has.astype(w),
+            dose_delta.astype(w),
+            new_state.stage.astype(w),
+        ])
+        return new_state, jnp.concatenate([out.obs.astype(w), tail])
+
     # -- recorded metrics (reference attribute names) -------------------------
 
     @property
     def stage(self):
+        # cached from the packed step read; TherapyWrapper polls this between
+        # host steps, so an uncached device read would double the round trips
+        if self._stage_cache is not None:
+            return self._stage_names[self._stage_cache]
         return self._stage_names[int(self._state.stage)] if self._state is not None else "Growth"
 
     @property
@@ -700,6 +766,7 @@ class BrainTumor1D(gym.Env):
         tb = None if self._t_benchmark is None else int(self._t_benchmark)
         self._state, obs = self._jit_init(jnp.asarray(init_condition), tb)
         self.time_index = 0
+        self._stage_cache = 0  # reset always starts in Growth
         # reference-style (nt, nx) density history (brain_tumor_env.py:365)
         self.u = np.zeros((self.nt, self.nx))
         self.u[0] = np.asarray(obs)
@@ -709,25 +776,26 @@ class BrainTumor1D(gym.Env):
         return np.asarray(obs), {}
 
     def step(self, control):
-        prev_remaining = float(self._state.remaining_dosage)
         control = float(np.asarray(control, np.float64).reshape(-1)[0])
-        self._state, out = self._jit_step(self._state, jnp.float32(control))
-        self.time_index = int(self._state.time_index)
-        self.u[self.time_index] = np.asarray(out.obs)
-        t1, has = self.fenv.tumor_radius(
-            self._state.u, self.config.t1_detection_threshold
-        )
+        self._state, packed = self._jit_step(self._state, jnp.float32(control))
+        vec = np.asarray(packed, np.float64)  # the ONE host read
+        obs = vec[:-8]
+        reward = float(vec[-8])
+        terminated = bool(vec[-7])
+        truncated = bool(vec[-6])
+        self.time_index = int(vec[-5])
+        t1, has = vec[-4], bool(vec[-3])
+        self._stage_cache = int(vec[-1])
+        self.u[self.time_index] = obs
         self.t1_radius_idx_vs_time[self.time_index] = (
-            float(t1) / self.dx if bool(has) else np.nan
+            t1 / self.dx if has else np.nan
         )
-        self.dosage_vs_time[self.time_index] = prev_remaining - float(
-            self._state.remaining_dosage
-        )
+        self.dosage_vs_time[self.time_index] = vec[-2]
         return (
-            np.asarray(out.obs),
-            float(out.reward),
-            bool(out.terminated),
-            bool(out.truncated),
+            obs,
+            reward,
+            terminated,
+            truncated,
             {"stage": self.stage},
         )
 
@@ -875,9 +943,20 @@ class NavierStokes2D(gym.Env):
         self.U = np.zeros((cfg.nt, cfg.nx, cfg.ny, 2))
         self.time_index = 0
         self._jit_init = jax.jit(self.fenv.init_from)
-        self._jit_step = jax.jit(self.fenv.step)
+        self._jit_step = jax.jit(self._step_packed)
         self._jit_pressure = jax.jit(self.fenv.solve_pressure)
         self._state = None
+
+    def _step_packed(self, state, action):
+        """One packed host read per step (docs/PERFORMANCE.md item 14)."""
+        new_state, out = self.fenv.step(state, action)
+        w = jnp.result_type(out.obs.dtype, jnp.float32)
+        tail = jnp.stack([
+            out.reward.astype(w),
+            out.terminated.astype(w),
+            new_state.time_index.astype(w),
+        ])
+        return new_state, jnp.concatenate([out.obs.reshape(-1).astype(w), tail])
 
     @property
     def u(self):
@@ -921,17 +1000,17 @@ class NavierStokes2D(gym.Env):
 
     def step(self, action):
         a = np.asarray(action, dtype=np.float64).reshape(-1)
-        self._state, out = self._jit_step(self._state, jnp.asarray(a))
-        self.time_index = int(self._state.time_index)
-        obs = np.asarray(out.obs)
+        self._state, packed = self._jit_step(self._state, jnp.asarray(a))
+        vec = np.asarray(packed)  # the ONE host read
+        obs = vec[:-3].reshape(self.U.shape[1:])
+        reward = float(vec[-3])
+        terminate = bool(vec[-2])
+        self.time_index = int(vec[-1])
         self.U[self.time_index] = obs
-        terminate = bool(out.terminated)
         if self._legacy_reward:
             reward = self.reward_class.reward(
                 self.U, self.time_index, self._U_ref_np, a, self._action_ref_np
             )
-        else:
-            reward = float(out.reward)
         return obs, reward, terminate, False, {}
 
 
