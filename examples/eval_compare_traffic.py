@@ -82,9 +82,11 @@ def episode_metrics(env, policy, max_steps=960):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ppo-iters", type=int, default=300)
+    ap.add_argument("--sac-iters", type=int, default=0,
+                    help=">0: also train/evaluate SAC (same outlet-train task)")
     ap.add_argument("--eval-every", type=int, default=20)
     ap.add_argument("--save-params", default=None,
-                    help="directory for traffic_ppo.msgpack")
+                    help="directory for traffic_{ppo,sac}.msgpack")
     args = ap.parse_args()
 
     cfg_eval = TrafficARZConfig(simulation_type="outlet")
@@ -132,6 +134,50 @@ def main():
             from pdecontrolgym_tpu.utils import save_params
 
             save_params(f"{args.save_params}/traffic_ppo.msgpack", runner.params)
+
+    if args.sac_iters > 0:
+        from pdecontrolgym_tpu.agents.sac import SACConfig, SACTrainer
+
+        # SAC trains on the RAW outlet-train env: its tanh actor scales
+        # straight onto the flux box (no TanhBoxActionEnv double-squash)
+        cfg_tr = TrafficARZConfig(simulation_type="outlet-train")
+        env_tr = TrafficARZEnv(cfg_tr, TrafficARZReward())
+
+        def norm_obs(obs):
+            r, v = obs[:M], obs[M:]
+            return jnp.concatenate([(r - rs) / rs, (v - vs) / vs])
+
+        env_sac_eval = TransformObsEnv(env_eval, norm_obs)
+        sac = SACTrainer(env_tr, SACConfig(
+            num_envs=64, buffer_size=200_000, batch_size=256,
+            steps_per_iter=8, updates_per_iter=16, gamma=0.995, lr=1e-3,
+            init_alpha=0.1, reward_scale=5.0,
+            action_low=float(env_tr.action_low),
+            action_high=float(env_tr.action_high),
+        ))
+
+        def eval_sac(params):
+            pol = sac.policy(params)
+            total, _, _, _ = episode_metrics(
+                env_sac_eval, lambda o: pol(o[None])[0]
+            )
+            return total
+
+        runner = sac.train(
+            jax.random.key(1), args.sac_iters, eval_fn=eval_sac,
+            eval_every=args.eval_every,
+            callback=lambda it, m: print(
+                f"  sac iter {it}: mean {m['mean_reward']:+.5f}"
+                + (f"  eval {m['eval']:+.4f} (best {m['best_eval']:+.4f})"
+                   if "eval" in m else ""), flush=True),
+        )
+        pol = sac.policy(runner.actor_params)
+        rows["sac"] = episode_metrics(env_sac_eval, lambda o: pol(o[None])[0])
+        if args.save_params:
+            from pdecontrolgym_tpu.utils import save_params
+
+            save_params(f"{args.save_params}/traffic_sac.msgpack",
+                        runner.actor_params)
 
     print(f"\n{'controller':>14} | {'total reward':>12} | {'final reward':>12} | {'steps':>6}")
     for name, (total, last, steps, obs) in rows.items():
