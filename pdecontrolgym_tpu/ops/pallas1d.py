@@ -299,7 +299,13 @@ def reaction_diffusion_update_t(dt: float, dx: float, state_dim: int,
                                 neumann: bool):
     """Transposed in-place FTCS sub-step (envs/reaction_diffusion.py
     semantics): u[0]=0 fixed BC, boundary from the PREVIOUS state's [-2]
-    for Neumann control (parabolic.py:148-150)."""
+    for Neumann control (parabolic.py:148-150).
+
+    Folded form ``u·(1 − 2F + dt·β) + F·(um + up)`` — the loop-invariant
+    diagonal coefficient is precomputed per interval via ``beta_transform``,
+    dropping 3 vector ops per point per sub-step vs
+    ``u + F·(um − 2u + up) + dt·β·u``; envs/reaction_diffusion.py uses the
+    identical association so the backends match bitwise."""
     F = dt / dx**2
     n = state_dim
     dp = _pad8(n)
@@ -309,7 +315,7 @@ def reaction_diffusion_update_t(dt: float, dx: float, state_dim: int,
         up = us[1:dp + 1, :]
         um = pltpu.roll(u, 1, 0)  # wraps pad row dp-1 (zero) into row 0:
         # row 0 is overwritten by the fixed BC below either way
-        un = u + F * (um - 2.0 * u + up) + u * beta_ref[:]  # beta = dt·λ
+        un = u * beta_ref[:] + F * (um + up)  # beta_ref = 1 − 2F + dt·λ
         if neumann:
             boundary = ctrl * dx + u[n - 2:n - 1, :]
         else:
@@ -324,5 +330,13 @@ def reaction_diffusion_update_t(dt: float, dx: float, state_dim: int,
 
     update.transposed = True
     update.boundary_const = not neumann
-    update.beta_transform = lambda beta: beta * dt
+    # the transform runs pre-padding, so pad rows of the beta block stay
+    # zero (u is zero there anyway). Scalars are staged through the array
+    # dtype exactly like the XLA path so the diagonals match bitwise.
+    def beta_transform(beta):
+        Fc = jnp.asarray(F, beta.dtype)
+        dtc = jnp.asarray(dt, beta.dtype)
+        return (1.0 - 2.0 * Fc) + beta * dtc
+
+    update.beta_transform = beta_transform
     return update
