@@ -169,3 +169,158 @@ def make_spatial_transport_episode(mesh: Mesh, *, dt: float, dx: float,
         out_specs=(P(), P(X_AXIS)),
     )
     return jax.jit(sharded)
+
+
+def make_spatial_ns_step(mesh: Mesh, *, dx: float, dy: float, dt: float,
+                         viscosity: float, density: float, iters: int,
+                         boundary_condition, ny: int):
+    """2D slab decomposition of the Navier-Stokes projection step — the
+    SP-analog extended to 2D fields: each device owns a contiguous slab of
+    ROWS (the y axis) and exchanges one-ROW halos with its neighbors via
+    ``ppermute`` — before the predictor, before the pressure RHS, once per
+    Jacobi sweep, and before the corrector's ∂p/∂y.
+
+    Semantics match ``NavierStokesEnv._advance`` with
+    ``pressure_solver="jacobi"`` exactly (same interior-only derivative
+    helpers, boundary write order, and sequential Neumann pressure-edge
+    copies — exact-match tested in ``tests/test_spatial_sharding.py``). The
+    spectral/matpow pressure modes need global transforms and stay
+    single-shard; the iterative mode is the one that scales to grids larger
+    than a device.
+
+    Returns jitted ``fn(u, v, p, action) -> (u', v', p')`` with all fields
+    ``(ny, nx)`` sharded over the row axis. Each slab needs ≥2 rows (the
+    global edge shards read their second row for Neumann copies).
+    """
+    n_shards = mesh.size
+    if ny % n_shards:
+        raise ValueError(f"ny={ny} must divide over {n_shards} shards")
+    if ny // n_shards < 2:
+        raise ValueError("each slab needs at least 2 rows")
+    k = ny // n_shards
+    nu = viscosity
+    # send my LAST row to the next shard (it becomes their 'row above') and
+    # my FIRST row to the previous shard (their 'row below')
+    perm_down = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+    perm_up = [(i, (i - 1) % n_shards) for i in range(n_shards)]
+
+    def ext(f):
+        """(k, nx) slab -> (k+2, nx) with neighbor halo rows. Wrap rows at
+        the global edges carry garbage; every consumer masks them out via
+        the global-interior row mask."""
+        above = jax.lax.ppermute(f[-1:], X_AXIS, perm_down)
+        below = jax.lax.ppermute(f[:1], X_AXIS, perm_up)
+        return jnp.concatenate([above, f, below])
+
+    def step(u, v, p, action):
+        axis_idx = jax.lax.axis_index(X_AXIS)
+        grow = axis_idx * k + jnp.arange(k)  # global row index per local row
+        col = jnp.arange(u.shape[-1])
+        nx = u.shape[-1]
+        int_y = jnp.logical_and(grow >= 1, grow <= ny - 2)[:, None]
+        int_x = jnp.logical_and(col >= 1, col <= nx - 2)[None, :]
+        interior = jnp.logical_and(int_y, int_x)
+
+        def ddx(f):
+            out = (jnp.roll(f, -1, axis=-1) - jnp.roll(f, 1, axis=-1)) / (2.0 * dx)
+            return jnp.where(interior, out, 0.0)
+
+        def ddy(fe):
+            out = (fe[2:] - fe[:-2]) / (2.0 * dy)
+            return jnp.where(interior, out, 0.0)
+
+        def lap(fe):
+            f = fe[1:-1]
+            out = (
+                jnp.roll(f, 1, axis=-1) + jnp.roll(f, -1, axis=-1)
+                + fe[:-2] + fe[2:] - 4.0 * f
+            ) / (dx * dy)
+            return jnp.where(interior, out, 0.0)
+
+        def apply_boundary(u, v):
+            """Reference edge-write order lower/upper/left/right x (u, v)
+            (navier_stokes2D.py:76-91); row edges live on the edge shards."""
+            act = jnp.asarray(action).reshape(-1)
+            a = act[0] if act.shape[0] == 1 else act
+            fields = [u, v]
+            edges = ("lower", "upper", "left", "right")
+            for pos, conds in zip(edges, boundary_condition):
+                for i, cond in enumerate(conds):
+                    f = fields[i]
+                    if cond == "Neumann":
+                        # inner-neighbor rows are local: slabs have >=2 rows
+                        if pos == "lower":
+                            val = jnp.where(grow[:, None] == 0, f[1:2], f)
+                        elif pos == "upper":
+                            val = jnp.where(grow[:, None] == ny - 1,
+                                            f[k - 2:k - 1], f)
+                        elif pos == "left":
+                            val = jnp.where(col[None, :] == 0, f[:, 1:2], f)
+                        else:
+                            val = jnp.where(col[None, :] == nx - 1, f[:, -2:-1], f)
+                    else:
+                        # both reference spellings of Dirichlet are zero
+                        write = a if cond == "Controllable" else 0.0
+                        if pos == "lower":
+                            val = jnp.where(grow[:, None] == 0, write, f)
+                        elif pos == "upper":
+                            val = jnp.where(grow[:, None] == ny - 1, write, f)
+                        elif pos == "left":
+                            val = jnp.where(col[None, :] == 0, write, f)
+                        else:
+                            val = jnp.where(col[None, :] == nx - 1, write, f)
+                    fields[i] = val
+            return fields[0], fields[1]
+
+        # --- predictor ---
+        ue, ve = ext(u), ext(v)
+        u_pred = u + dt * (-u * ddx(u) - v * ddy(ue) + nu * lap(ue))
+        v_pred = v + dt * (-u * ddx(v) - v * ddy(ve) + nu * lap(ve))
+        u_pred, v_pred = apply_boundary(u_pred, v_pred)
+
+        # --- pressure: fixed-iteration Jacobi with per-sweep halos ---
+        upe, vpe = ext(u_pred), ext(v_pred)
+        rhs = jnp.where(
+            interior,
+            density / dt * (
+                (jnp.roll(u_pred, -1, -1) - jnp.roll(u_pred, 1, -1)) / (2.0 * dx)
+                + (vpe[2:] - vpe[:-2]) / (2.0 * dy)
+            ),
+            0.0,
+        )
+
+        def neumann_edges(pp):
+            # reference order: right col, global row 0, left col, global last
+            # row — each write reads the PREVIOUS write's result, so the
+            # corner chain matches the sequential copies (poisson2d.py)
+            pp = jnp.where(col[None, :] == nx - 1, jnp.roll(pp, 1, -1), pp)
+            pp = jnp.where(grow[:, None] == 0, pp[1:2], pp)
+            pp = jnp.where(col[None, :] == 0, jnp.roll(pp, -1, -1), pp)
+            pp = jnp.where(grow[:, None] == ny - 1, pp[k - 2:k - 1], pp)
+            return pp
+
+        def sweep(_, pp):
+            pe = ext(pp)
+            inner = 0.25 * (
+                jnp.roll(pp, 1, -1) + jnp.roll(pp, -1, -1)
+                + pe[:-2] + pe[2:] - dx * dy * rhs
+            )
+            pp = jnp.where(interior, inner, pp)
+            return neumann_edges(pp)
+
+        p_new = jax.lax.fori_loop(0, iters, sweep, p)
+
+        # --- corrector ---
+        pe = ext(p_new)
+        u_next = u_pred - dt / density * ddx(p_new)
+        v_next = v_pred - dt / density * ddy(pe)
+        u_next, v_next = apply_boundary(u_next, v_next)
+        return u_next, v_next, p_new
+
+    sharded = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(X_AXIS), P(X_AXIS), P(X_AXIS), P()),
+        out_specs=(P(X_AXIS), P(X_AXIS), P(X_AXIS)),
+    )
+    return jax.jit(sharded)

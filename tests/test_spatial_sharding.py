@@ -94,3 +94,61 @@ def test_spatially_sharded_episode_matches_env_rewards():
     # (‖u(T)‖ ≈ 8 < 20 after 20 intervals → ~249 on both paths)
     assert float(rewards[-1]) > 200.0
     assert float(expected_r[-1]) > 200.0
+
+
+def test_spatially_sharded_ns_step_matches_single_device():
+    """2D slab decomposition (rows over the mesh, one-row ppermute halos per
+    stencil/Jacobi sweep) reproduces the single-device NS projection step
+    exactly, including the sequential Neumann pressure-edge corner chain."""
+    from pdecontrolgym_tpu.envs.navier_stokes import (
+        NavierStokesConfig,
+        NavierStokesEnv,
+        freeze_boundary_condition,
+    )
+    from pdecontrolgym_tpu.parallel.spatial import make_spatial_ns_step
+    from pdecontrolgym_tpu.rewards.ns import NSReward
+
+    assert jax.device_count() >= 8
+    mesh = spatial_mesh(jax.devices()[:8])
+
+    n = 16
+    bc = freeze_boundary_condition({
+        "upper": ["Controllable", "Dirchilet"],
+        "lower": ["Dirchilet", "Dirchilet"],
+        "left": ["Neumann", "Dirchilet"],
+        "right": ["Dirchilet", "Neumann"],
+    })
+    cfg = NavierStokesConfig(
+        T=0.02, dt=1e-3, X=1.0, dx=1.0 / (n - 1), Y=1.0, dy=1.0 / (n - 1),
+        boundary_condition=bc, dtype=jnp.float64, viscosity=0.05,
+        pressure_solver="jacobi", maximum_pressure_iteration=25,
+    )
+    env = NavierStokesEnv(
+        cfg, NSReward(0.1),
+        np.zeros((cfg.nt, n, n, 2)), np.zeros(cfg.nt),
+    )
+    rng = np.random.default_rng(1)
+    u = rng.normal(size=(n, n))
+    v = rng.normal(size=(n, n))
+    p = rng.normal(size=(n, n))
+    action = np.float64(1.5)
+
+    # single-device reference: three env steps
+    state, _ = env.init_from(u, v, p)
+    stepf = jax.jit(env.step)
+    for _ in range(3):
+        state, _ = stepf(state, jnp.float64(action))
+
+    # slab-sharded: same three steps
+    sharded = make_spatial_ns_step(
+        mesh, dx=cfg.dx, dy=cfg.dy, dt=cfg.dt, viscosity=cfg.viscosity,
+        density=cfg.density, iters=cfg.maximum_pressure_iteration,
+        boundary_condition=cfg.boundary_condition, ny=n,
+    )
+    us, vs, ps = jnp.asarray(u), jnp.asarray(v), jnp.asarray(p)
+    for _ in range(3):
+        us, vs, ps = sharded(us, vs, ps, jnp.float64(action))
+
+    np.testing.assert_allclose(np.asarray(us), np.asarray(state.u), rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(vs), np.asarray(state.v), rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(ps), np.asarray(state.p), rtol=1e-12, atol=1e-12)
