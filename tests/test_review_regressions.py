@@ -222,3 +222,29 @@ def test_autoreset_gate_paths_equivalent():
         np.testing.assert_allclose(np.asarray(a, np.float64),
                                    np.asarray(b, np.float64),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_bench_neuron_timed_scalar_depends_on_physics():
+    """Round-2's neuron bench attached no reward, so its timed scalar was a
+    constant zero and XLA dead-code-eliminated the entire rollout (advisor
+    finding). The bench now folds the final observation into the scalar;
+    this pins the property: different rollout keys must produce different
+    timed values (a DCE'd program returns a key-independent constant)."""
+    from pdecontrolgym_tpu.envs.neuron import NeuronConfig, NeuronEnv
+    from pdecontrolgym_tpu.parallel.rollout import rollout
+
+    env = NeuronEnv(NeuronConfig(dtype=jnp.float32))  # NO reward attached
+
+    # the exact timed quantity bench_families._measure builds
+    def episode(key):
+        (_, obs), outs = rollout(env, lambda o, _k: jnp.zeros(o.shape[:-1]),
+                                 4, 5, key)
+        return outs.reward.sum().astype(jnp.float32) + obs.sum().astype(jnp.float32)
+
+    a = float(jax.jit(episode)(jax.random.key(0)))
+    b = float(jax.jit(episode)(jax.random.key(1)))
+    assert np.isfinite(a) and np.isfinite(b)
+    # neuron init is deterministic (no IC sampling), so different keys give
+    # the same trajectory — the guard here is that the scalar reflects the
+    # PHYSICS, not a constant zero
+    assert abs(a) > 1e-3, "timed scalar is ~0: the rollout was DCE'd again"
