@@ -53,7 +53,17 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--save-params", default=None,
                     help="directory for rd_ppo.msgpack / rd_sac.msgpack")
+    ap.add_argument("--log-dir", default=None,
+                    help="MetricsLogger dir (metrics.jsonl + TB) for the "
+                         "training curves — plot with "
+                         "examples/plot_training_curves.py")
     args = ap.parse_args()
+
+    logger = None
+    if args.log_dir:
+        from pdecontrolgym_tpu.utils import MetricsLogger
+
+        logger = MetricsLogger(args.log_dir)
 
     cfg = ReactionDiffusionConfig(
         T=T, dt=DT, X=X, dx=DX, control_sample_rate=1e-3,
@@ -87,10 +97,14 @@ def main():
 
         return eval_fn
 
-    log = lambda tag: (lambda it, m: print(
-        f"  {tag} iter {it}: mean {m['mean_reward']:+.3f}"
-        + (f"  eval {m['eval']:+.2f} (best {m['best_eval']:+.2f})"
-           if "eval" in m else ""), flush=True))
+    def log(tag):
+        def cb(it, m):
+            print(f"  {tag} iter {it}: mean {m['mean_reward']:+.3f}"
+                  + (f"  eval {m['eval']:+.2f} (best {m['best_eval']:+.2f})"
+                     if "eval" in m else ""), flush=True)
+            if logger is not None:
+                logger.log(it, {f"{tag}_{k}": v for k, v in m.items()})
+        return cb
 
     if args.ppo_iters > 0:
         trainer = PPOTrainer(
