@@ -18,23 +18,10 @@ from pdecontrolgym_tpu.agents.ppo import PPOConfig, PPOTrainer
 from pdecontrolgym_tpu.envs.brain_tumor import (
     BrainTumorConfig,
     BrainTumorEnv,
+    DoseTherapyEnv,
     TherapyEnv,
 )
 from pdecontrolgym_tpu.rewards.brain_tumor import BrainTumorReward
-
-
-class DoseActionTherapyEnv(TherapyEnv):
-    """Maps the policy's [-1, 1] action onto a dose fraction in [0, 1] and
-    normalizes the observed density by the carrying capacity."""
-
-    def init(self, key, t_benchmark=None):
-        state, obs = super().init(key, t_benchmark)
-        return state, obs / self.config.k
-
-    def step(self, state, action, key=None):
-        dose = jnp.clip((jnp.asarray(action) + 1.0) / 2.0, 0.0, 1.0)
-        state, out = super().step(state, dose, key)
-        return state, out.replace(obs=out.obs / self.config.k)
 
 
 def main():
@@ -50,7 +37,7 @@ def main():
     base = BrainTumorEnv(cfg, BrainTumorReward())
     tb = int(jax.jit(TherapyEnv(base).benchmark)(jax.random.key(0)))
     print(f"baseline survival (t_benchmark): {tb} days")
-    env = DoseActionTherapyEnv(base, t_benchmark=tb)
+    env = DoseTherapyEnv(base, t_benchmark=tb)
 
     trainer = PPOTrainer(
         env,

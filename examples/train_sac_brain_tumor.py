@@ -19,23 +19,10 @@ from pdecontrolgym_tpu.agents.sac import SACConfig, SACTrainer
 from pdecontrolgym_tpu.envs.brain_tumor import (
     BrainTumorConfig,
     BrainTumorEnv,
+    DoseTherapyEnv,
     TherapyEnv,
 )
 from pdecontrolgym_tpu.rewards.brain_tumor import BrainTumorReward
-
-
-class DoseActionTherapyEnv(TherapyEnv):
-    """[-1, 1] action -> dose fraction in [0, 1]; densities normalized by the
-    carrying capacity (same wrapper as ``train_ppo_brain_tumor.py``)."""
-
-    def init(self, key, t_benchmark=None):
-        state, obs = super().init(key, t_benchmark)
-        return state, obs / self.config.k
-
-    def step(self, state, action, key=None):
-        dose = jnp.clip((jnp.asarray(action) + 1.0) / 2.0, 0.0, 1.0)
-        state, out = super().step(state, dose, key)
-        return state, out.replace(obs=out.obs / self.config.k)
 
 
 def main():
@@ -51,7 +38,7 @@ def main():
     base = BrainTumorEnv(cfg, BrainTumorReward())
     tb = int(jax.jit(TherapyEnv(base).benchmark)(jax.random.key(0)))
     print(f"baseline survival (t_benchmark): {tb} days")
-    env = DoseActionTherapyEnv(base, t_benchmark=tb)
+    env = DoseTherapyEnv(base, t_benchmark=tb)
 
     sac = SACTrainer(env, SACConfig(
         num_envs=64, buffer_size=100_000, batch_size=256,

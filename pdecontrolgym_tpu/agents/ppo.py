@@ -90,10 +90,11 @@ class PPOTrainer:
         # where the env supports it, cond-gated autoreset) instead of
         # per-env vmap(autoreset_step) — 1.64x train_step throughput at
         # 4096 envs (bench_train.py, docs/PERFORMANCE.md). Envs with sensing
-        # noise keep the per-env path: the fused step drops per-env noise keys.
-        if getattr(env, "noise_fn", None) is None:
-            from pdecontrolgym_tpu.parallel.rollout import batch_step
+        # noise (anywhere in the wrapper chain) keep the per-env path: the
+        # fused step drops per-env noise keys.
+        from pdecontrolgym_tpu.parallel.rollout import batch_step, env_noise_fn
 
+        if env_noise_fn(env) is None:
             self._env_step = batch_step(env, autoreset=True)
         else:
             self._env_step = lambda state, actions, key: jax.vmap(

@@ -128,10 +128,11 @@ class SACTrainer:
         self.tx = optax.adam(config.lr)
         self.target_entropy = -float(self.adim)
         # fused batched env step (Pallas interval kernel + cond-gated
-        # autoreset) — same swap as PPOTrainer; noise-free envs only
-        if getattr(env, "noise_fn", None) is None:
-            from pdecontrolgym_tpu.parallel.rollout import batch_step
+        # autoreset) — same swap as PPOTrainer; noise-free envs only (the
+        # check walks the wrapper chain)
+        from pdecontrolgym_tpu.parallel.rollout import batch_step, env_noise_fn
 
+        if env_noise_fn(env) is None:
             self._env_step = batch_step(env, autoreset=True)
         else:
             self._env_step = lambda state, actions, key: jax.vmap(

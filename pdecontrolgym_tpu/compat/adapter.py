@@ -149,6 +149,7 @@ class Boundary1DGymEnv(gym.Env):
         self._jit_step_dev = jax.jit(self._step_dev, donate_argnums=2)
         self._state = None
         self._ubuf = None
+        self._u_cache = None
         self.u = np.zeros((self.nt, self.fenv.state_dim), dtype=np.float32)
 
     @staticmethod
@@ -189,12 +190,20 @@ class Boundary1DGymEnv(gym.Env):
     def u(self):
         if self._host_history or self._ubuf is None:
             return self._u_host
-        return np.asarray(self._ubuf[: self.nt])
+        # a WRITABLE host copy, cached between steps: repeated reads return
+        # the same mutable array (reference users index and mutate env.u);
+        # the next step/reset refreshes it from the device buffer, which is
+        # the one documented divergence — user writes to PAST rows do not
+        # survive an env step (the reference itself only ever appends rows)
+        if self._u_cache is None:
+            self._u_cache = np.array(self._ubuf[: self.nt])
+        return self._u_cache
 
     @u.setter
     def u(self, value):
         # keep plain assignment working (reference users own `env.u`)
         self._u_host = np.asarray(value)
+        self._u_cache = None
         if not self._host_history and self._ubuf is not None:
             S = self.config.sample_rate
             buf = jnp.zeros((self.nt + S, self.fenv.state_dim),
@@ -230,6 +239,7 @@ class Boundary1DGymEnv(gym.Env):
             self._ubuf = jnp.zeros(
                 (self.nt + S, self.fenv.state_dim), self.config.dtype
             ).at[0].set(self._state.u)
+            self._u_cache = None
         return self.sensing_noise_func(np.asarray(obs)), {}
 
     def step(self, control):
@@ -241,6 +251,7 @@ class Boundary1DGymEnv(gym.Env):
             self._state, packed, self._ubuf = self._jit_step_dev(
                 self._state, control, self._ubuf
             )
+            self._u_cache = None  # next env.u access re-reads the device buffer
         vec = np.asarray(packed)  # the ONE host read of this step
         obs = self.sensing_noise_func(vec[:-4])
         reward = float(vec[-4])
@@ -579,7 +590,10 @@ class NeuronPDE1D(gym.Env):
             obs = obs[:L]
         obs = self.sensing_noise_func(obs)
         if self._legacy_reward and self.reward_class is not None:
-            u2d = np.asarray(self._state.u).reshape(-1, 1)
+            # full sensing: the packed obs segment already IS the state row —
+            # reading self._state.u would be a second ~30 ms tunnel round trip
+            row = vec[:-5] if self._full_sensing else np.asarray(self._state.u)
+            u2d = row.reshape(-1, 1)
             reward = self.reward_class.reward(
                 u2d, self.time_index, terminated, truncated, u2d[L],
             )

@@ -1,6 +1,7 @@
 from pdecontrolgym_tpu.envs.brain_tumor import (
     BrainTumorConfig,
     BrainTumorEnv,
+    DoseTherapyEnv,
     TherapyEnv,
 )
 from pdecontrolgym_tpu.envs.burgers import BurgersConfig, BurgersEnv
@@ -31,6 +32,7 @@ __all__ = [
     "BrainTumorEnv",
     "NeuronConfig",
     "NeuronEnv",
+    "DoseTherapyEnv",
     "TherapyEnv",
     "Boundary1DConfig",
     "Boundary1DEnv",

@@ -385,3 +385,20 @@ class TherapyEnv(FunctionalEnv):
         first = self.env.step(state, jnp.zeros(()))
         final_state, _ = jax.lax.while_loop(cond, body, first)
         return final_state.simulation_days
+
+
+class DoseTherapyEnv(TherapyEnv):
+    """MLP-friendly therapy surface: maps the policy's [-1, 1] action onto a
+    dose fraction in [0, 1] and normalizes observed densities by the
+    carrying capacity. The training surface of the PPO/SAC examples
+    (``examples/train_{ppo,sac}_brain_tumor.py``) and the
+    committed-checkpoint tests."""
+
+    def init(self, key, t_benchmark=None):
+        state, obs = super().init(key, t_benchmark)
+        return state, obs / self.config.k
+
+    def step(self, state, action, key=None):
+        dose = jnp.clip((jnp.asarray(action) + 1.0) / 2.0, 0.0, 1.0)
+        state, out = super().step(state, dose, key)
+        return state, out.replace(obs=out.obs / self.config.k)

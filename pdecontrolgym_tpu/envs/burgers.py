@@ -45,9 +45,10 @@ class BurgersEnv(Boundary1DEnv):
     def _pallas_auto(self) -> bool:
         # pallas won at every swept size for this scheme; XLA on CPU. The
         # round-2 VMEM cliff above 2048 is gone (single-buffered column
-        # blocks + full-VMEM ceiling, ops/pallas1d); cap at the largest
-        # transport/RD-measured size (the explicit viscous dt bound rules the
-        # default config out at nx>=4096 anyway — sweep note)
+        # blocks + full-VMEM ceiling, ops/pallas1d). Measured inviscid (the
+        # explicit viscous dt bound rules the default config out at
+        # nx>=4096): 51.1M vs 4.6M at 4096, 29.4M vs 1.7M at 8192, 15.4M vs
+        # 0.9M at 16384 sub-steps/s (11-17x) — docs/PERFORMANCE.md §4.
         import jax
 
         return self.state_dim <= 16384 and jax.default_backend() != "cpu"

@@ -364,6 +364,11 @@ class NavierStokesEnv(FunctionalEnv):
 
         if getattr(self.config, "lockstep_targets", True):
             reward = shared_ref(None)
+            # fail LOUD on hand-built mixed-time batches instead of silently
+            # rewarding every env against env 0's target row (the check is
+            # one (B,) compare + select — the round-2 lax.cond this replaces
+            # was the expensive part, not the comparison)
+            reward = jnp.where((ts == ts[0]).all(), reward, jnp.nan)
         else:
             reward = jax.lax.cond(
                 (ts == ts[0]).all(), shared_ref, gathered_ref, None

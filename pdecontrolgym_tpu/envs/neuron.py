@@ -234,12 +234,16 @@ class NeuronEnv(FunctionalEnv):
             L=self._conversion(Z0[1]),
             time_index=jnp.zeros((), c.dtype),
         )
-        return state, self._observe(state.u, state.L)
+        return state, self._observe(state.u, state.L, None)
 
-    def _observe(self, u, L):
+    def _observe(self, u, L, key):
         obs = self._sensing_fn(u, L)
-        if self.noise_fn is not None:
-            obs = self.noise_fn(obs)  # single-arg, as in the reference
+        # package noise convention (envs/common.py): noise_fn(obs, key),
+        # applied only when a PRNG key is threaded through step(); the
+        # Gymnasium adapter applies the reference's single-arg
+        # sensing_noise_func on the host instead
+        if self.noise_fn is not None and key is not None:
+            obs = self.noise_fn(obs, key)
         return obs
 
     def step(self, state: NeuronState, action=None, key=None):
@@ -330,7 +334,7 @@ class NeuronEnv(FunctionalEnv):
             reward = self.reward(ctx)
 
         return new_state, StepOut(
-            obs=self._observe(u_new, L_new),
+            obs=self._observe(u_new, L_new, key),
             reward=reward,
             terminated=terminated,
             truncated=truncated,

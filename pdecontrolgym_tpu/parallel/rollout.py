@@ -15,6 +15,23 @@ import jax
 import jax.numpy as jnp
 
 
+def env_noise_fn(env):
+    """The innermost env's ``noise_fn``, walking functional wrapper chains
+    (wrappers delegate through ``.env``). The PPO/SAC trainers gate their
+    fused-rollout fast path on this: the fused ``batch_step`` drops per-env
+    noise keys, so noisy envs must keep the per-env ``autoreset_step`` path —
+    checking only the OUTERMOST object silently dropped sensing noise for
+    wrapped envs (review finding)."""
+    hops = 0
+    while env is not None and hops < 16:
+        fn = getattr(env, "noise_fn", None)
+        if fn is not None:
+            return fn
+        env = getattr(env, "env", None)
+        hops += 1
+    return None
+
+
 def batch_init(env, num_envs: int):
     """Returns ``init(key) -> (state, obs)`` for a batch of envs."""
 

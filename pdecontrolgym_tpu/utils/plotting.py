@@ -78,8 +78,9 @@ def reward_curves(curves, labels=None, ax=None, smooth=1, xlabel="iteration",
     TB CSV exports in its docs; ``examples/transportPDE/utils.py:58-106``).
 
     ``curves``: list of ``(steps, values)`` pairs — from :func:`load_csv` or
-    :func:`load_jsonl`. ``smooth``: centered moving-average window. Returns
-    the ``Axes``.
+    :func:`load_jsonl`. ``smooth``: trailing moving-average window (each
+    plotted point averages the window ENDING at its step). Returns the
+    ``Axes``.
     """
     plt = _require_pyplot()
     if ax is None:

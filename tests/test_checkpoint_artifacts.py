@@ -217,18 +217,9 @@ def test_brain_tumor_ppo_checkpoint_extends_survival():
     base = BrainTumorEnv(cfg, BrainTumorReward())
     tb = int(jax.jit(TherapyEnv(base).benchmark)(jax.random.key(0)))
 
-    # the example's DoseActionTherapyEnv wiring (train_ppo_brain_tumor.py)
-    class DoseEnv(TherapyEnv):
-        def init(self, key, t_benchmark=None):
-            state, obs = super().init(key, t_benchmark)
-            return state, obs / self.config.k
+    from pdecontrolgym_tpu.envs.brain_tumor import DoseTherapyEnv
 
-        def step(self, state, action, key=None):
-            dose = jnp.clip((jnp.asarray(action) + 1.0) / 2.0, 0.0, 1.0)
-            state, out = super().step(state, dose, key)
-            return state, out.replace(obs=out.obs / self.config.k)
-
-    env = DoseEnv(base, t_benchmark=tb)
+    env = DoseTherapyEnv(base, t_benchmark=tb)
     trainer = PPOTrainer(env, PPOConfig())
     template = trainer.net.init(jax.random.key(0), jnp.zeros((1, env.obs_dim)))
     params = _load("brain_tumor_ppo.msgpack", template)
@@ -292,17 +283,9 @@ def test_brain_tumor_sac_checkpoint_extends_survival():
     base = BrainTumorEnv(cfg, BrainTumorReward())
     tb = int(jax.jit(TherapyEnv(base).benchmark)(jax.random.key(0)))
 
-    class DoseEnv(TherapyEnv):  # train_sac_brain_tumor.py wiring
-        def init(self, key, t_benchmark=None):
-            state, obs = super().init(key, t_benchmark)
-            return state, obs / self.config.k
+    from pdecontrolgym_tpu.envs.brain_tumor import DoseTherapyEnv
 
-        def step(self, state, action, key=None):
-            dose = jnp.clip((jnp.asarray(action) + 1.0) / 2.0, 0.0, 1.0)
-            state, out = super().step(state, dose, key)
-            return state, out.replace(obs=out.obs / self.config.k)
-
-    env = DoseEnv(base, t_benchmark=tb)
+    env = DoseTherapyEnv(base, t_benchmark=tb)
     trainer = SACTrainer(env, SACConfig())
     template = trainer.actor.init(jax.random.key(0), jnp.zeros((1, env.obs_dim)))
     params = _load("brain_tumor_sac.msgpack", template)

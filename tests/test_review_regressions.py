@@ -248,3 +248,88 @@ def test_bench_neuron_timed_scalar_depends_on_physics():
     # the same trajectory — the guard here is that the scalar reflects the
     # PHYSICS, not a constant zero
     assert abs(a) > 1e-3, "timed scalar is ~0: the rollout was DCE'd again"
+
+
+def test_noise_gate_sees_through_wrappers():
+    """The PPO/SAC fused-rollout gate must detect noise_fn ANYWHERE in the
+    wrapper chain (review finding: checking only the outermost env silently
+    dropped sensing noise for wrapped noisy envs)."""
+    from pdecontrolgym_tpu.envs import TransformObsEnv
+    from pdecontrolgym_tpu.parallel.rollout import env_noise_fn
+
+    noise = lambda obs, key: obs + jax.random.normal(key, obs.shape) * 1e-3
+    cfg = Boundary1DConfig(T=0.05, dt=1e-3, X=1.0, dx=1.0 / 32,
+                           control_sample_rate=1e-2)
+    noisy = TransportEnv(cfg, TunedReward1D(cfg.nt - 1), noise_fn=noise)
+    wrapped = TransformObsEnv(noisy, lambda o: o * 2.0)
+    assert env_noise_fn(wrapped) is noise
+    assert env_noise_fn(TransportEnv(cfg, TunedReward1D(cfg.nt - 1))) is None
+
+    from pdecontrolgym_tpu.agents.ppo import PPOConfig, PPOTrainer
+
+    trainer = PPOTrainer(wrapped, PPOConfig(num_envs=4, num_steps=2,
+                                            num_epochs=1, num_minibatches=1,
+                                            hidden=(8, 8)))
+    # the noisy env must take the per-env path, which threads noise keys
+    runner = trainer.init(jax.random.key(0))
+    state, out = trainer._env_step(runner.env_state,
+                                   jnp.zeros(4), jax.random.key(1))
+    state2, out2 = trainer._env_step(runner.env_state,
+                                     jnp.zeros(4), jax.random.key(2))
+    # different keys -> different noisy observations (noise IS applied)
+    assert not np.allclose(np.asarray(out.obs), np.asarray(out2.obs))
+
+
+def test_adapter_fast_path_env_u_is_writable():
+    """env.u must stay a mutable numpy array on the device-history fast path
+    (review finding: the raw jax-array view was read-only)."""
+    from pdecontrolgym_tpu.compat.adapter import TransportPDE1D
+
+    env = TransportPDE1D(
+        T=0.05, dt=1e-3, X=1.0, dx=1.0 / 32, control_sample_rate=1e-2,
+        reset_init_condition_func=lambda nx: np.ones(nx, np.float32),
+        reset_recirculation_func=lambda nx: np.zeros(nx, np.float32),
+    )
+    env.reset()
+    assert not env._host_history
+    env.u[0] = 7.0  # reference-style in-place mutation must not raise
+    assert np.allclose(env.u[0], 7.0)  # and persists between reads
+    env.step(np.float32(0.1))
+    # the next step refreshed the cache from the device buffer (documented)
+    assert not np.allclose(env.u[0], 7.0)
+
+
+def test_ns_lockstep_default_poisons_mixed_time_batches():
+    """lockstep_targets=True computes rewards from one shared target row;
+    hand-built mixed-time batches must fail LOUD (NaN), not silently reward
+    against the wrong row (review finding)."""
+    from pdecontrolgym_tpu.envs.navier_stokes import (
+        NavierStokesConfig,
+        NavierStokesEnv,
+        freeze_boundary_condition,
+    )
+    from pdecontrolgym_tpu.rewards.ns import NSReward
+
+    n = 8
+    bc = freeze_boundary_condition({
+        "upper": ["Controllable", "Dirchilet"],
+        "lower": ["Dirchilet", "Dirchilet"],
+        "left": ["Dirchilet", "Dirchilet"],
+        "right": ["Dirchilet", "Dirchilet"],
+    })
+    cfg = NavierStokesConfig(
+        T=0.02, dt=1e-3, X=1.0, dx=1.0 / (n - 1), Y=1.0, dy=1.0 / (n - 1),
+        boundary_condition=bc, dtype=jnp.float32, viscosity=0.01,
+        pressure_solver="jacobi", maximum_pressure_iteration=5,
+    )
+    env = NavierStokesEnv(cfg, NSReward(0.1),
+                          np.zeros((cfg.nt, n, n, 2), np.float32),
+                          np.zeros(cfg.nt, np.float32))
+    state, _ = jax.vmap(env.init)(jax.random.split(jax.random.key(0), 4))
+    # lockstep batch: finite rewards
+    _, out = jax.jit(env.step_batch)(state, jnp.full((4, 1), 1.0))
+    assert np.isfinite(np.asarray(out.reward)).all()
+    # mixed times: poisoned rewards
+    mixed = state.replace(time_index=jnp.asarray([0, 1, 0, 0], jnp.int32))
+    _, out = jax.jit(env.step_batch)(mixed, jnp.full((4, 1), 1.0))
+    assert np.isnan(np.asarray(out.reward)).all()
