@@ -77,6 +77,15 @@ class NavierStokesConfig:
     # False: runtime `(t == t[0]).all()` cond falling back to a per-env
     # gather — only needed for hand-built batches with mixed time indices.
     lockstep_targets: bool = True
+    # Batched-step backend. "auto": fuse the WHOLE projection step
+    # (predictor → boundary → spectral pressure → corrector → boundary) into
+    # one Pallas kernel (ops/ns_fused) when eligible — pressure_solver
+    # "direct", float32, scalar action, TPU — which removes the ~dozen
+    # (B, ny, nx) HBM round trips the XLA path pays per step (measured 1.45x
+    # at 2048 envs × 64×64, docs/PERFORMANCE.md). "xla": always the jnp path.
+    # "fused": force the kernel (interpret-mode on CPU; raises if the config
+    # is ineligible). step() (unbatched) always uses the XLA path.
+    step_backend: str = "auto"
     # per-edge (u_condition, v_condition) ordered (lower, upper, left, right);
     # default mirrors the examples' dict: controllable lid at the upper edge
     # (``NS2Dppo.py:21-26``). Use freeze_boundary_condition() to convert a dict.
@@ -178,6 +187,34 @@ class NavierStokesEnv(FunctionalEnv):
             )
             if solver == "matpow"
             else None
+        )
+        self._fused_step = self._build_fused_step()
+
+    def _build_fused_step(self):
+        c = self.config
+        backend = getattr(c, "step_backend", "auto")
+        eligible = (
+            getattr(c, "pressure_solver", "jacobi") == "direct"
+            and jnp.dtype(c.dtype) == jnp.float32
+            and c.action_dim == 1
+        )
+        if backend == "xla" or (backend == "auto" and not eligible):
+            return None
+        if backend == "fused" and not eligible:
+            raise ValueError(
+                "step_backend='fused' needs pressure_solver='direct', "
+                "float32 and action_dim=1"
+            )
+        on_cpu = jax.default_backend() == "cpu"
+        if backend == "auto" and on_cpu:
+            return None  # the fused kernel only pays off on real TPU HBM
+        from pdecontrolgym_tpu.ops.ns_fused import make_fused_ns_step
+
+        return make_fused_ns_step(
+            ny=c.ny, nx=c.nx, dx=c.dx, dy=c.dy, dt=c.dt,
+            viscosity=c.viscosity, density=c.density,
+            boundary_condition=c.boundary_condition, dtype=jnp.float32,
+            interpret=on_cpu,
         )
 
     @property
@@ -301,6 +338,21 @@ class NavierStokesEnv(FunctionalEnv):
         terminated = t >= c.nt - 1
         return new_state, frame, terminated, t
 
+    def _advance_batch(self, state: NavierStokesState, actions):
+        """Batched physics: the fused Pallas step when built (see
+        ``step_backend``), else ``vmap`` over the XLA ``_advance``. Same
+        (new_state, frames, terminated, ts) contract either way."""
+        if self._fused_step is None:
+            return jax.vmap(self._advance)(state, actions)
+        c = self.config
+        act = jnp.asarray(actions, c.dtype).reshape(state.u.shape[0], -1)
+        u, v, p = self._fused_step(state.u, state.v, act)
+        ts = state.time_index + 1
+        new_state = NavierStokesState(u=u, v=v, p=p, time_index=ts)
+        frames = jnp.stack([u, v], axis=-1)
+        terminated = ts >= c.nt - 1
+        return new_state, frames, terminated, ts
+
     def _reward_at(self, frame, t, terminated, action, frame_ref, action_ref):
         c = self.config
         ctx = RewardCtx(
@@ -348,7 +400,7 @@ class NavierStokesEnv(FunctionalEnv):
         end-to-end on the round-3 XLA. ``lockstep_targets=False`` restores
         the runtime check with the per-env gather fallback for hand-built
         mixed-time batches."""
-        new_state, frames, terminated, ts = jax.vmap(self._advance)(state, actions)
+        new_state, frames, terminated, ts = self._advance_batch(state, actions)
 
         def shared_ref(_):
             row = jax.lax.dynamic_index_in_dim(self.U_ref, ts[0], 0, keepdims=False)

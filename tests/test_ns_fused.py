@@ -1,0 +1,105 @@
+"""Fused Pallas NS projection step (ops/ns_fused) vs the XLA batched path.
+
+Runs in Pallas interpret mode on CPU (the env builds the kernel with
+``interpret=True`` off-TPU when ``step_backend="fused"`` is forced). The
+oracle is the env's own XLA ``_advance`` — itself parity-tested against the
+reference (``src/environments2d/navier_stokes2D.py:118-157``) in
+``test_navier_stokes.py`` — so this suite pins kernel==XLA semantics:
+predictor, per-edge boundary write order (corner overwrite chains), the
+padded-basis spectral pressure solve, mirror ring copies, and corrector.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pdecontrolgym_tpu.envs.navier_stokes import (
+    NavierStokesConfig,
+    NavierStokesEnv,
+    NavierStokesState,
+    freeze_boundary_condition,
+)
+from pdecontrolgym_tpu.rewards.ns import NSReward
+
+LID_BC = freeze_boundary_condition({
+    "upper": ["Controllable", "Dirchilet"],
+    "lower": ["Dirchilet", "Dirchilet"],
+    "left": ["Dirchilet", "Dirchilet"],
+    "right": ["Dirchilet", "Dirchilet"],
+})
+# exercises Neumann inner-neighbor reads and a Controllable v-component,
+# so corner overwrite chains differ from the lid default
+MIXED_BC = freeze_boundary_condition({
+    "upper": ["Controllable", "Neumann"],
+    "lower": ["Neumann", "Dirchilet"],
+    "left": ["Dirchilet", "Controllable"],
+    "right": ["Neumann", "Neumann"],
+})
+
+
+def _cfg(bc, n=16, **kw):
+    d = 1.0 / (n - 1)
+    kw.setdefault("pressure_solver", "direct")
+    return NavierStokesConfig(
+        T=0.02, dt=1e-3, X=1.0, dx=d, Y=1.0, dy=d,
+        viscosity=0.05, dtype=jnp.float32,
+        boundary_condition=bc, **kw,
+    )
+
+
+def _env(cfg):
+    nt = cfg.nt
+    return NavierStokesEnv(
+        cfg, NSReward(0.1),
+        jnp.zeros((nt, cfg.ny, cfg.nx, 2), cfg.dtype),
+        2.0 * jnp.ones(nt, cfg.dtype),
+    )
+
+
+def _batch_state(env, batch, seed=0):
+    keys = jax.random.split(jax.random.PRNGKey(seed), batch)
+    state, _ = jax.vmap(env.init)(keys)
+    # bounded, non-constant fields so the nonlinear terms are exercised
+    ku, kv = jax.random.split(jax.random.PRNGKey(seed + 1))
+    shape = (batch, env.config.ny, env.config.nx)
+    return state.replace(
+        u=0.2 * jax.random.normal(ku, shape, jnp.float32),
+        v=0.2 * jax.random.normal(kv, shape, jnp.float32),
+    )
+
+
+@pytest.mark.parametrize("bc,batch", [(LID_BC, 4), (MIXED_BC, 3)])
+def test_fused_matches_xla_path(bc, batch):
+    fused_env = _env(_cfg(bc, step_backend="fused"))
+    xla_env = _env(_cfg(bc, step_backend="xla"))
+    assert fused_env._fused_step is not None
+    assert xla_env._fused_step is None
+
+    fs = _batch_state(fused_env, batch)
+    xs = fs
+    acts = jnp.linspace(-1.5, 2.0, batch, dtype=jnp.float32)[:, None]
+    for _ in range(3):
+        fs, fout = fused_env.step_batch(fs, acts)
+        xs, xout = xla_env.step_batch(xs, acts)
+        for a, b in ((fs.u, xs.u), (fs.v, xs.v), (fs.p, xs.p)):
+            np.testing.assert_allclose(a, b, rtol=0, atol=2e-5)
+        np.testing.assert_allclose(fout.reward, xout.reward, rtol=1e-4, atol=1e-5)
+        np.testing.assert_array_equal(fout.terminated, xout.terminated)
+
+
+def test_auto_backend_stays_on_xla_on_cpu():
+    env = _env(_cfg(LID_BC))  # step_backend="auto", conftest forces CPU
+    assert env._fused_step is None
+
+
+def test_fused_rejects_ineligible_config():
+    import dataclasses
+
+    with pytest.raises(ValueError, match="fused"):
+        _env(_cfg(LID_BC, step_backend="fused", pressure_solver="matpow"))
+    cfg64 = dataclasses.replace(
+        _cfg(LID_BC, step_backend="fused"), dtype=jnp.float64
+    )
+    with pytest.raises(ValueError, match="fused"):
+        _env(cfg64)
