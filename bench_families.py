@@ -96,10 +96,13 @@ def bench_brain_tumor(num_envs, repeats, steps=None):
     return _measure(env, policy, num_envs, steps or 365, repeats)
 
 
-def _bench_ns(solver):
-    """NS at the reference's 21x21 grid and 2000-iteration pressure-parity
-    semantics. solver='matpow' collapses the 2000 sweeps into two precomputed
-    441x441 matmuls (identical truncation error); 'jacobi' runs them."""
+def _bench_ns(solver, n=None, step_backend="auto"):
+    """NS benches. solver='matpow'/'jacobi' run the reference's 21x21 grid at
+    2000-iteration pressure-parity semantics (matpow collapses the sweeps
+    into two precomputed 441x441 matmuls with identical truncation error).
+    solver='direct' is the fast mode: 64x64 f32 spectral solve; its
+    step_backend arg picks the fused Pallas projection kernel ('auto' on
+    TPU) vs the XLA path ('xla')."""
 
     def run(num_envs, repeats, steps=None):
         from pdecontrolgym_tpu.envs.navier_stokes import (
@@ -112,8 +115,16 @@ def _bench_ns(solver):
             "left": ["Dirchilet", "Dirchilet"],
             "right": ["Dirchilet", "Dirchilet"],
         })
-        cfg = NavierStokesConfig(
-            dtype=jnp.float32, boundary_condition=bc, pressure_solver=solver)
+        if n is None:
+            cfg = NavierStokesConfig(
+                dtype=jnp.float32, boundary_condition=bc,
+                pressure_solver=solver, step_backend=step_backend)
+        else:
+            cfg = NavierStokesConfig(
+                T=0.05, dt=2e-4, X=1.0, dx=1.0 / (n - 1),
+                Y=1.0, dy=1.0 / (n - 1), viscosity=0.05,
+                dtype=jnp.float32, boundary_condition=bc,
+                pressure_solver=solver, step_backend=step_backend)
         nt = cfg.nt
         env = NavierStokesEnv(
             cfg, NSReward(0.1),
@@ -136,7 +147,9 @@ def main():
 
     fns = {"traffic": bench_traffic, "neuron": bench_neuron,
            "brain_tumor": bench_brain_tumor,
-           "ns_matpow": _bench_ns("matpow"), "ns_jacobi": _bench_ns("jacobi")}
+           "ns_matpow": _bench_ns("matpow"), "ns_jacobi": _bench_ns("jacobi"),
+           "ns_fast": _bench_ns("direct", n=64),
+           "ns_fast_xla": _bench_ns("direct", n=64, step_backend="xla")}
     for name in filter(None, args.families.split(",")):
         rate, compile_s = fns[name](args.envs, args.repeats, args.steps)
         print(json.dumps({

@@ -218,6 +218,14 @@ class NavierStokesEnv(FunctionalEnv):
         )
 
     @property
+    def fixed_episode_length(self):
+        """Episodes ALWAYS run exactly nt−1 steps (terminate at t ≥ nt−1,
+        never truncate — ``navier_stokes2D.py:154-157`` returns
+        ``truncated=False`` unconditionally). Lets ``parallel/rollout``
+        drop the per-step masked autoreset for lockstep batches."""
+        return self.config.nt - 1
+
+    @property
     def obs_shape(self):
         return (self.config.nx, self.config.ny, 2)
 

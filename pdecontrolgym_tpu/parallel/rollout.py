@@ -117,11 +117,26 @@ def rollout(
     ``policy_fn(obs, key) -> actions`` is any pure mapping (a backstepping
     controller, an MLP policy, random actions). Returns final carry and
     stacked StepOut pytree.
+    An env may declare ``fixed_episode_length = L`` (episodes ALWAYS
+    terminate at exactly L steps and never truncate — e.g. Navier-Stokes,
+    envs/navier_stokes.py). From a fresh init the batch is then lockstep
+    forever, so resets only happen at exact episode boundaries where EVERY
+    env resets at once: the scan is segmented there and the per-step masked
+    autoreset (cond + full-state select, which costs ~2 extra carry round
+    trips per step — more than the NS projection step itself) is dropped.
     """
     init = batch_init(env, num_envs)
-    step = batch_step(env, autoreset)
     key, init_key = jax.random.split(key)
     state, obs = init(init_key)
+
+    fixed_len = getattr(env, "fixed_episode_length", None) if autoreset else None
+    if fixed_len:
+        return _rollout_fixed_len(
+            env, policy_fn, num_envs, num_steps, key, int(fixed_len),
+            state, obs,
+        )
+
+    step = batch_step(env, autoreset)
 
     def body(carry, step_key):
         state, obs = carry
@@ -132,4 +147,61 @@ def rollout(
 
     keys = jax.random.split(key, num_steps)
     (state, obs), outs = jax.lax.scan(body, (state, obs), keys)
+    return (state, obs), outs
+
+
+def _rollout_fixed_len(env, policy_fn, num_envs, num_steps, key, L,
+                       state, obs):
+    """Boundary-segmented rollout for ``fixed_episode_length`` envs.
+
+    Semantics match the generic autoreset path exactly: the out at a
+    boundary step keeps ``terminated=True`` but carries the fresh obs (the
+    standard in-kernel autoreset convention), and the carry continues from
+    the fresh state. Segmentation is static (num_steps and L are Python
+    ints), so this stays one jitted program."""
+    raw = batch_step(env, autoreset=False)
+    # boundaries hit at step L, 2L, … ≤ num_steps; each consumes one extra
+    # (reset) key. For num_steps < L the key stream is identical to the
+    # generic path's split(key, num_steps), so the two paths match exactly.
+    keys = jax.random.split(key, num_steps + num_steps // L)
+    key_pos = 0
+
+    def plain_segment(state, obs, seg_keys):
+        def body(carry, step_key):
+            state, obs = carry
+            actions = policy_fn(obs, jax.random.split(step_key)[0])
+            state, out = raw(state, actions, None)
+            return (state, out.obs), out
+
+        return jax.lax.scan(body, (state, obs), seg_keys)
+
+    pieces = []
+    t, pos = 0, 0
+    while pos < num_steps:
+        k = min(L - 1 - t, num_steps - pos)
+        if k > 0:
+            (state, obs), outs = plain_segment(
+                state, obs, keys[key_pos : key_pos + k]
+            )
+            pieces.append(outs)
+            t += k
+            pos += k
+            key_pos += k
+        if pos >= num_steps:
+            break
+        # boundary step: every env terminates here; step, then re-init all
+        step_key = keys[key_pos]
+        key_pos += 1
+        actions = policy_fn(obs, jax.random.split(step_key)[0])
+        state, out = raw(state, actions, None)
+        reset_keys = jax.random.split(keys[key_pos], num_envs)
+        key_pos += 1
+        state, obs = jax.vmap(env.init)(reset_keys)
+        out = out.replace(obs=obs)
+        pieces.append(jax.tree_util.tree_map(lambda x: x[None], out))
+        t = 0
+        pos += 1
+    outs = jax.tree_util.tree_map(
+        lambda *xs: jnp.concatenate(xs, axis=0), *pieces
+    )
     return (state, obs), outs
