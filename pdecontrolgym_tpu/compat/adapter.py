@@ -529,9 +529,13 @@ class NeuronPDE1D(gym.Env):
         # (the reference's dynamic-length new_u, neuron_env.py:325-331)
         self._full_sensing = cfg.sensing_loc == "full"
         obs_dim = self.fenv.obs_dim
+        # dtype follows the env (f64 default; f32 when x64 is off) so obs are
+        # IN the declared space — the gymnasium check_env contract
+        obs_dt = np.dtype(jnp.zeros((), cfg.dtype).dtype)
         self.observation_space = spaces.Box(
-            np.full(obs_dim, -max_state_value, dtype="float32"),
-            np.full(obs_dim, max_state_value, dtype="float32"),
+            np.full(obs_dim, -max_state_value, dtype=obs_dt),
+            np.full(obs_dim, max_state_value, dtype=obs_dt),
+            dtype=obs_dt,
         )
         self.action_space = spaces.Box(
             low=np.array([-max_control_value], dtype="float32"),
@@ -947,9 +951,15 @@ class NavierStokes2D(gym.Env):
         self.x = np.linspace(0, X, cfg.nx)
         self.y = np.linspace(0, Y, cfg.ny)
         self.X, self.Y = np.meshgrid(self.x, self.y)  # meshgrid overwrite quirk
+        # Box dtype follows the env dtype (f64 by default, f32 when x64 is
+        # off or the config asks for it) so returned observations are IN the
+        # declared space — gymnasium's check_env contract; the reference's
+        # f32 Box vs f64 obs would fail its own imported checker.
+        obs_dt = np.dtype(jnp.zeros((), cfg.dtype).dtype)
         self.observation_space = spaces.Box(
-            np.full((cfg.nx, cfg.ny, 2), -np.inf, dtype="float32"),
-            np.full((cfg.nx, cfg.ny, 2), np.inf, dtype="float32"),
+            np.full((cfg.nx, cfg.ny, 2), -np.inf, dtype=obs_dt),
+            np.full((cfg.nx, cfg.ny, 2), np.inf, dtype=obs_dt),
+            dtype=obs_dt,
         )
         self.action_space = spaces.Box(
             low=-1.0, high=1.0, shape=(action_dim,), dtype=np.float32

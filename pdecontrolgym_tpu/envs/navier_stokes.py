@@ -205,17 +205,45 @@ class NavierStokesEnv(FunctionalEnv):
                 "step_backend='fused' needs pressure_solver='direct', "
                 "float32 and action_dim=1"
             )
-        on_cpu = jax.default_backend() == "cpu"
-        if backend == "auto" and on_cpu:
-            return None  # the fused kernel only pays off on real TPU HBM
+        platform = jax.default_backend()
+        on_cpu = platform == "cpu"
+        if backend == "auto" and platform not in ("tpu", "axon"):
+            # Mosaic kernels only exist for TPU-family backends (and
+            # interpret-mode CPU); on GPU or anything else "auto" must fall
+            # back to the XLA path instead of failing to compile. Only
+            # "fused" forces the kernel.
+            return None
         from pdecontrolgym_tpu.ops.ns_fused import make_fused_ns_step
 
-        return make_fused_ns_step(
+        fused = make_fused_ns_step(
             ny=c.ny, nx=c.nx, dx=c.dx, dy=c.dy, dt=c.dt,
             viscosity=c.viscosity, density=c.density,
             boundary_condition=c.boundary_condition, dtype=jnp.float32,
             interpret=on_cpu,
         )
+        # Mosaic kernels have no autodiff rule; without this wrapper
+        # jax.grad through a batched direct+f32 step would raise where the
+        # XLA path differentiates. Forward = the kernel (bitwise-parity-
+        # tested vs _projection); backward = the VJP of the batched XLA
+        # projection (direct_pressure ignores its p0 argument, so zeros
+        # stand in for the previous pressure).
+        xla_batched = jax.vmap(
+            lambda u, v, a: self._projection(u, v, jnp.zeros_like(u), a)
+        )
+
+        @jax.custom_vjp
+        def fused_step(u, v, act):
+            return fused(u, v, act)
+
+        def _fwd(u, v, act):
+            return fused(u, v, act), (u, v, act)
+
+        def _bwd(residuals, cotangents):
+            _, vjp_fn = jax.vjp(xla_batched, *residuals)
+            return vjp_fn(cotangents)
+
+        fused_step.defvjp(_fwd, _bwd)
+        return fused_step
 
     @property
     def fixed_episode_length(self):
@@ -321,12 +349,12 @@ class NavierStokesEnv(FunctionalEnv):
             iters if iters is not None else c.maximum_pressure_iteration,
         )
 
-    def _advance(self, state: NavierStokesState, action):
-        """Physics only: predictor → boundary → pressure → corrector →
-        boundary (``navier_stokes2D.py:118-157``). Reward is applied
-        separately so ``step_batch`` can share the tracking-target lookup."""
+    def _projection(self, u, v, p, action):
+        """One projection step of the physics: predictor → boundary →
+        pressure → corrector → boundary (``navier_stokes2D.py:118-157``).
+        Pure XLA; also serves as the differentiable twin of the fused Pallas
+        kernel (its ``custom_vjp`` backward re-runs this)."""
         c = self.config
-        u, v, p = state.u, state.v, state.p
         nu, dt = c.viscosity, c.dt
 
         dudx, dudy = ddx(u, c.dx), ddy(u, c.dy)
@@ -339,7 +367,15 @@ class NavierStokesEnv(FunctionalEnv):
         u_next = u_pred - dt / c.density * ddx(pressure, c.dx)
         v_next = v_pred - dt / c.density * ddy(pressure, c.dy)
         u_next, v_next = self._apply_boundary(u_next, v_next, action)
+        return u_next, v_next, pressure
 
+    def _advance(self, state: NavierStokesState, action):
+        """Physics + bookkeeping; reward is applied separately so
+        ``step_batch`` can share the tracking-target lookup."""
+        c = self.config
+        u_next, v_next, pressure = self._projection(
+            state.u, state.v, state.p, action
+        )
         t = state.time_index + 1
         new_state = NavierStokesState(u=u_next, v=v_next, p=pressure, time_index=t)
         frame = self._observe(new_state)

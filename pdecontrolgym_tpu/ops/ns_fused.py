@@ -21,9 +21,10 @@ transform exactly.
 Layout: each grid program owns a ``(tile_b, ny, nx)`` block — envs on the
 leading (cheap) axis, the grid's y on sublanes, x on lanes. Stencil neighbor
 reads are zero-filled minor-axis shifts (slice + concat, no circular wrap);
-the x-side spectral contractions batch all ``tile_b`` envs into one
-``(tile_b·ny, nx) @ (nx, nx)`` MXU matmul; the y-side contractions are a
-static per-env unroll of 2D dots (Mosaic has no batched dot_general).
+ALL four spectral contractions are batched minor-axis MXU matmuls
+(``(tile_b·rows, k) @ (k, cols)``), with two in-kernel batched minor-dim
+transposes swapping which grid axis is minor between the x-side and y-side
+pairs (per-env unrolled 2D dots were 3x slower).
 """
 
 from __future__ import annotations

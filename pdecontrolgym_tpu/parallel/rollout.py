@@ -130,7 +130,10 @@ def rollout(
     state, obs = init(init_key)
 
     fixed_len = getattr(env, "fixed_episode_length", None) if autoreset else None
-    if fixed_len:
+    # num_steps == 0 routes to the generic scan (a zero-length scan returns
+    # an empty StepOut stack; the segment loop below would concatenate zero
+    # pieces and crash).
+    if fixed_len and num_steps > 0:
         return _rollout_fixed_len(
             env, policy_fn, num_envs, num_steps, key, int(fixed_len),
             state, obs,

@@ -2,8 +2,10 @@
 
 import numpy as np
 import gymnasium as gym
+import pytest
 
 import pdecontrolgym_tpu  # noqa: F401  (registers env IDs)
+from pdecontrolgym_tpu.compat import registration
 from pdecontrolgym_tpu.rewards import TunedReward1D
 
 
@@ -159,24 +161,19 @@ def test_vector_env_adapter():
     assert not term.any()
 
 
-def test_gymnasium_official_conformance_checker():
-    """gymnasium.utils.env_checker — the check the reference imports but
-    never runs (transport1Dppo.py:8)."""
-    from gymnasium.utils.env_checker import check_env
-
-    env = gym.make("PDEControlGym-TransportPDE1D", **{**_params(), "normalize": True}).unwrapped
-    check_env(env, skip_render_check=True)
-
-    tr = gym.make(
-        "PDEControlGym-TrafficPDE1D",
+# One valid kwargs set per registered ID (the conformance contract covers
+# every ID, parametrized below). Factories so per-test state never leaks.
+# Neuron is checked with scalar (collocated) sensing: full sensing observes
+# the dynamic-length u[:L] of the moving boundary — the reference's new_u,
+# neuron_env.py:325-331 — which no fixed Box can contain by design.
+_CONFORMANCE_KWARGS = {
+    "PDEControlGym-TransportPDE1D": lambda: {**_params(), "normalize": True},
+    "PDEControlGym-TrafficPDE1D": lambda: dict(
         T=240.0, dt=0.25, X=500.0, dx=10.0, simulation_type="outlet",
         v_steady=10, ro_steady=0.12, v_max=40, ro_max=0.16, tau=60,
         verbose=False,
-    ).unwrapped
-    check_env(tr, skip_render_check=True)
-
-    rd = gym.make(
-        "PDEControlGym-ReactionDiffusionPDE1D",
+    ),
+    "PDEControlGym-ReactionDiffusionPDE1D": lambda: dict(
         T=0.01, dt=1e-5, X=1.0, dx=5e-3,
         reward_class=TunedReward1D(1000, -1e3, 3e2),
         normalize=True, sensing_loc="full", control_type="Dirchilet",
@@ -185,8 +182,53 @@ def test_gymnasium_official_conformance_checker():
         reset_init_condition_func=lambda n: np.ones(n + 1, np.float32),
         reset_recirculation_func=lambda n: np.zeros(n + 1, np.float32),
         control_sample_rate=1e-3,
-    ).unwrapped
-    check_env(rd, skip_render_check=True)
+    ),
+    "PDEControlGym-Burgers1D": lambda: dict(
+        T=0.05, dt=1e-4, X=1.0, dx=1.0 / 128,
+        reward_class=TunedReward1D(500),
+        normalize=True, sensing_loc="full", control_type="Dirchilet",
+        sensing_type=None, sensing_noise_func=lambda s: s,
+        limit_pde_state_size=True, max_state_value=1e10, max_control_value=20,
+        reset_init_condition_func=lambda n: np.sin(
+            np.pi * np.linspace(0, 1, n)
+        ).astype(np.float32),
+        reset_recirculation_func=lambda n: np.zeros(n, np.float32),
+        control_sample_rate=0.01, viscosity=1e-3,
+    ),
+    "PDEControlGym-NavierStokes2D": lambda: dict(
+        T=0.05, dt=1e-3, X=1.0, dx=0.05, Y=1.0, dy=0.05, action_dim=1,
+        normalize=True,
+        reset_init_condition_func=lambda X: (
+            np.ones((21, 21)), -0.5 * np.ones((21, 21)), np.zeros((21, 21))
+        ),
+        boundary_condition={
+            "upper": ["Controllable", "Dirchilet"],
+            "lower": ["Dirchilet", "Dirchilet"],
+            "left": ["Dirchilet", "Dirchilet"],
+            "right": ["Dirchilet", "Dirchilet"],
+        },
+        U_ref=np.zeros((50, 21, 21, 2)), action_ref=np.zeros(50),
+        maximum_pressure_iteration=40,
+    ),
+    "PDEControlGym-BrainTumor1D": lambda: dict(
+        T=600.0, dt=1.0, X=200.0, dx=1.0,
+        reset_init_condition_func=lambda X=200.0, nx=201: (
+            0.8e5 * np.exp(-0.25 * np.linspace(0, X, nx) ** 2)
+        ),
+        total_dosage=61.2, verbose=False, normalize=True,
+    ),
+    "PDEControlGym-NeuronPDE1D": lambda: dict(sensing_loc="collocated"),
+}
+
+
+@pytest.mark.parametrize("env_id", sorted(registration._SPECS))
+def test_gymnasium_official_conformance_checker(env_id):
+    """gymnasium.utils.env_checker over EVERY registered ID — the check the
+    reference imports but never runs (transport1Dppo.py:8)."""
+    from gymnasium.utils.env_checker import check_env
+
+    env = gym.make(env_id, **_CONFORMANCE_KWARGS[env_id]()).unwrapped
+    check_env(env, skip_render_check=True)
 
 
 def test_vector_env_non_square_ns_obs_shape():

@@ -103,3 +103,26 @@ def test_fused_rejects_ineligible_config():
     )
     with pytest.raises(ValueError, match="fused"):
         _env(cfg64)
+
+
+@pytest.mark.parametrize("bc", [LID_BC, MIXED_BC])
+def test_fused_step_is_differentiable(bc):
+    """jax.grad through the fused batched step must work (custom_vjp whose
+    backward re-runs the XLA projection) and agree with the pure-XLA path."""
+    fused_env = _env(_cfg(bc, step_backend="fused"))
+    xla_env = _env(_cfg(bc, step_backend="xla"))
+    state = _batch_state(fused_env, 3)
+    acts = jnp.linspace(-1.0, 1.5, 3, dtype=jnp.float32)[:, None]
+
+    def loss(env):
+        def f(u, a):
+            s = state.replace(u=u)
+            new_state, out = env.step_batch(s, a)
+            return (new_state.u.sum() + new_state.v.sum()
+                    + new_state.p[:, 1:-1, 1:-1].sum() + out.reward.sum())
+        return f
+
+    gf_u, gf_a = jax.grad(loss(fused_env), argnums=(0, 1))(state.u, acts)
+    gx_u, gx_a = jax.grad(loss(xla_env), argnums=(0, 1))(state.u, acts)
+    np.testing.assert_allclose(gf_u, gx_u, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(gf_a, gx_a, rtol=1e-5, atol=1e-6)

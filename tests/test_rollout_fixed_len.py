@@ -104,3 +104,12 @@ def test_trajectory_shapes_and_carry():
     # carry after the boundary step is the fresh state
     np.testing.assert_array_equal(np.asarray(state.time_index), 0)
     np.testing.assert_array_equal(np.asarray(obs), np.asarray(outs.obs[-1]))
+
+
+def test_zero_length_rollout():
+    """num_steps=0 routes to the generic scan and returns an empty stack
+    (the segment loop would otherwise concatenate zero pieces and crash)."""
+    env = _env()
+    (state, obs), outs = rollout(env, _policy, 4, 0, jax.random.PRNGKey(0))
+    assert outs.obs.shape[0] == 0
+    assert obs.shape == (4,) + env.obs_shape
