@@ -69,16 +69,22 @@ class RewardCtx:
     bsum: jnp.ndarray
     ring: int = struct.field(pytree_node=False, default=1)
     extras: Any = None
+    # trailing window of per-row norms in a reward-declared ord (reward's
+    # ``ring_ord``, e.g. L1/L∞ for NormReward t-horizon) — None unless the
+    # reward declares an ord other than "2" (the L2 ``norms`` window always
+    # exists: truncation reads it)
+    aux_norms: Any = None
 
-    def _at(self, back):
+    def _at(self, back, ring=None):
         # clamp under-declared lags to the window's oldest entry instead of
         # silently wrapping via negative indexing
-        idx = self.norms.shape[-1] - 1 - back
+        ring = self.norms if ring is None else ring
+        idx = ring.shape[-1] - 1 - back
         if isinstance(back, int):
             idx = max(idx, 0)  # static — keeps the indexing gather-free
         else:
             idx = jnp.maximum(idx, 0)
-        return self.norms[..., idx]
+        return ring[..., idx]
 
     @property
     def cur_norm(self) -> jnp.ndarray:

@@ -83,6 +83,7 @@ class Boundary1DState:
     norm_ring: jnp.ndarray  # (ring,) trailing per-row L2 norms
     bsum: jnp.ndarray  # running sum of |u[t, -1]|
     prev_u: Optional[jnp.ndarray] = None  # previous row (only if reward needs it)
+    aux_ring: Optional[jnp.ndarray] = None  # (ring,) norms in reward.ring_ord
 
 
 class Boundary1DEnv(FunctionalEnv):
@@ -114,6 +115,12 @@ class Boundary1DEnv(FunctionalEnv):
         # cross-lane reduction would otherwise dominate the stencil cost.
         self.window = max(int(getattr(reward, "ring_requirement", 1)), 1) + 1
         self._needs_prev = bool(getattr(reward, "needs_prev_row", False))
+        # rewards may declare lag reads in a norm other than L2 (NormReward
+        # t-horizon with norm="1"/"inf"); the env then carries a SECOND
+        # trailing window in that ord alongside the L2 one (truncation always
+        # reads L2, hyperbolic.py:182-194)
+        self._aux_ord = str(getattr(reward, "ring_ord", "2"))
+        self._needs_aux = self._aux_ord != "2"
         self._control_fn = make_control_fn(
             config.control_type, config.normalize, config.max_control_value, config.dx
         )
@@ -174,8 +181,17 @@ class Boundary1DEnv(FunctionalEnv):
             norm_ring=jnp.zeros((self.window,), c.dtype).at[-1].set(n0),
             bsum=jnp.abs(u0[-1]).astype(c.dtype),
             prev_u=u0 if self._needs_prev else None,
+            aux_ring=(
+                jnp.zeros((self.window,), c.dtype).at[-1].set(self._aux_norm(u0))
+                if self._needs_aux else None
+            ),
         )
         return state, self._observe(state, key=None)
+
+    def _aux_norm(self, u):
+        if self._aux_ord == "1":
+            return jnp.sum(jnp.abs(u), axis=-1)
+        return jnp.max(jnp.abs(u), axis=-1)  # "inf"
 
     def _observe(self, state, key):
         obs = self._sensing_fn(state.u)
@@ -204,7 +220,11 @@ class Boundary1DEnv(FunctionalEnv):
                     up = jnp.where(active, u, up)
                 t = jnp.where(active, t + 1, t)
                 bsum = jnp.where(active, bsum + jnp.abs(boundary), bsum)
-                out = jnp.linalg.norm(u_new) if with_norm else None
+                out = None
+                if with_norm:
+                    out = jnp.linalg.norm(u_new)
+                    if self._needs_aux:
+                        out = (out, self._aux_norm(u_new))
                 return (u_new, up, t, bsum), out
 
             return substep
@@ -218,6 +238,7 @@ class Boundary1DEnv(FunctionalEnv):
         # exact because frozen sub-steps recompute the unchanged row's norm).
         carry = (state.u, prev0, state.time_index, state.bsum)
         positions = self.norm_positions
+        aux = jnp.zeros((S,), c.dtype) if self._needs_aux else None
         if positions is not None:
             norms = jnp.zeros((S,), c.dtype)
             start = 0
@@ -228,6 +249,9 @@ class Boundary1DEnv(FunctionalEnv):
                         unroll=min(c.scan_unroll, j - start),
                     )
                 carry, n = make_substep(True)(carry, None)
+                if self._needs_aux:
+                    n, a = n
+                    aux = aux.at[j].set(a)
                 norms = norms.at[j].set(n)
                 start = j + 1
             if S > start:
@@ -236,6 +260,8 @@ class Boundary1DEnv(FunctionalEnv):
                     unroll=min(c.scan_unroll, S - start),
                 )
             norms = norms[-min(W, S):]
+            if self._needs_aux:
+                aux = aux[-min(W, S):]
         else:
             S2 = min(W, S)
             if S > S2:
@@ -247,9 +273,15 @@ class Boundary1DEnv(FunctionalEnv):
                 make_substep(True), carry, None, length=S2,
                 unroll=min(c.scan_unroll, S2),
             )
+            if self._needs_aux:
+                norms, aux = norms
         u, prev_u, t, bsum = carry
         trailing = self._trailing(state.norm_ring, norms)
-        return self._finish(state, u, prev_u, t, bsum, trailing, key)
+        aux_trailing = (
+            self._trailing(state.aux_ring, aux) if self._needs_aux else None
+        )
+        return self._finish(state, u, prev_u, t, bsum, trailing, key,
+                            aux_trailing)
 
     def _trailing(self, ring, norms):
         """Advance the trailing-norm window by one full interval: a STATIC
@@ -289,17 +321,23 @@ class Boundary1DEnv(FunctionalEnv):
                 up = jnp.where(active, u, up)
             t = jnp.where(active, t + 1, t)
             bsum = jnp.where(active, bsum + jnp.abs(boundary), bsum)
-            return (u_new, up, t, bsum), (u_new, jnp.linalg.norm(u_new))
+            aux = self._aux_norm(u_new) if self._needs_aux else jnp.zeros((), u.dtype)
+            return (u_new, up, t, bsum), (u_new, jnp.linalg.norm(u_new), aux)
 
-        (u, prev_u, t, bsum), (rows, norms) = jax.lax.scan(
+        (u, prev_u, t, bsum), (rows, norms, auxs) = jax.lax.scan(
             substep, (state.u, prev0, state.time_index, state.bsum), None, length=S
         )
         executed = t - state.time_index
-        if S > self.window:
-            trailing = norms[-self.window:]
-        else:
-            trailing = roll_ring(state.norm_ring, norms, executed)
-        new_state, out = self._finish(state, u, prev_u, t, bsum, trailing, key)
+
+        def _trail(ring, vals):
+            if S > self.window:
+                return vals[-self.window:]
+            return roll_ring(ring, vals, executed)
+
+        trailing = _trail(state.norm_ring, norms)
+        aux_trailing = _trail(state.aux_ring, auxs) if self._needs_aux else None
+        new_state, out = self._finish(state, u, prev_u, t, bsum, trailing, key,
+                                      aux_trailing)
         return new_state, out, rows
 
     @property
@@ -367,6 +405,7 @@ class Boundary1DEnv(FunctionalEnv):
         use_pallas = (
             want_pallas
             and not self._needs_prev
+            and not self._needs_aux  # interval kernel computes L2 norms only
             and self._get_interval_fn() is not False
         )
         if not use_pallas:
@@ -402,10 +441,12 @@ class Boundary1DEnv(FunctionalEnv):
 
     # -- shared step tail -----------------------------------------------------
 
-    def _finish(self, state, u, prev_u, t, bsum, trailing, key):
+    def _finish(self, state, u, prev_u, t, bsum, trailing, key,
+                aux_trailing=None):
         """Shared step tail. ``trailing`` is the trailing-norm window:
         ``trailing[-1]`` = current row's L2 norm, ``trailing[-1-k]`` = k
-        sub-steps earlier."""
+        sub-steps earlier. ``aux_trailing`` is the same window in the
+        reward's declared ``ring_ord`` when that is not L2."""
         c = self.config
         nt = c.nt
         executed = t - state.time_index
@@ -429,6 +470,7 @@ class Boundary1DEnv(FunctionalEnv):
             bsum=bsum,
             ring=self.window,
             extras={"prev_u": prev_u} if self._needs_prev else None,
+            aux_norms=aux_trailing,
         )
         reward = self.reward(ctx)
 
@@ -438,6 +480,7 @@ class Boundary1DEnv(FunctionalEnv):
             norm_ring=trailing,
             bsum=bsum,
             prev_u=prev_u if self._needs_prev else None,
+            aux_ring=aux_trailing,
         )
         out = StepOut(
             obs=self._observe(new_state, key),

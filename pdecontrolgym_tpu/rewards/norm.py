@@ -15,10 +15,12 @@ at runtime (undefined ``norm_coeff`` at lines 54/59/61/73, array-vs-None
 reference never defines it. Terminate/truncate bonuses match
 ``norm_reward.py:47-50``.
 
-The differential and t-horizon modes need trailing per-row statistics; with
-``norm="2"`` these come from the env's norm ring. L1/L∞ differential requires
-the previous full row, which the 1D envs also carry (``prev_u``) when the
-reward requests it via ``needs_prev_row``.
+The differential and t-horizon modes need trailing per-row statistics:
+differential requires the previous full row, which the 1D envs carry
+(``prev_u``) when the reward requests it via ``needs_prev_row``; t-horizon
+reads lagged per-row norms from the env's trailing ring — the L2 ring when
+``norm="2"``, else an auxiliary ring the env evaluates in this reward's
+declared ``ring_ord`` (L1/L∞) alongside the L2 one truncation reads.
 """
 
 from __future__ import annotations
@@ -61,16 +63,19 @@ class NormReward(BaseReward):
             raise ValueError(f"Invalid norm {self.norm!r}; use '1', '2' or 'inf'.")
         if self.horizon not in ("temporal", "differential", "t-horizon"):
             raise ValueError(f"Invalid horizon {self.horizon!r}.")
-        if self.horizon == "t-horizon" and str(self.norm) != "2":
-            # the env's trailing window carries L2 norms; mixing them with an
-            # L1/Linf current-row norm would silently change the semantics
-            raise ValueError("t-horizon currently supports norm='2' only.")
 
     @property
     def ring_requirement(self) -> int:
         if self.horizon == "t-horizon":
             return max(self.t_horizon_length, 1)
         return 1
+
+    @property
+    def ring_ord(self) -> str:
+        """Norm ord of the trailing window this reward reads lags from.
+        For L1/L∞ t-horizon the env carries an auxiliary window in this ord
+        next to the L2 one (truncation always reads L2)."""
+        return str(self.norm) if self.horizon == "t-horizon" else "2"
 
     @property
     def required_lags(self):
@@ -93,10 +98,11 @@ class NormReward(BaseReward):
             prev_u = ctx.extras["prev_u"]
             diff = _vec_norm(ctx.u - prev_u, str(self.norm)) / self.norm_coeff
             running = jnp.where(ctx.time_index > 0, diff, -cur_norm / self.norm_coeff)
-        else:  # t-horizon (L2 trailing window; see RewardCtx.norms)
+        else:  # t-horizon (trailing window in this reward's ord)
             h = self.t_horizon_length
             lags = jnp.arange(h)
-            vals = ctx._at(lags)
+            ring = ctx.norms if str(self.norm) == "2" else ctx.aux_norms
+            vals = ctx._at(lags, ring)
             count = jnp.minimum(jnp.maximum(ctx.time_index, 1), h)
             mask = lags < count
             running = -jnp.sum(jnp.where(mask, vals, 0.0)) / count / self.norm_coeff

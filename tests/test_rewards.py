@@ -81,3 +81,31 @@ def test_sensing_noise_prng_hook():
     # without a key the noise hook is skipped (pure rollouts stay deterministic)
     sn, on2 = jax.jit(lambda s, a: noisy.step(s, a))(sn, jnp.float32(0.1))
     assert np.abs(np.asarray(on2.obs)).max() < 50.0
+
+
+@pytest.mark.parametrize("norm", ["1", "2", "inf"])
+def test_norm_reward_t_horizon_matches_full_history(norm):
+    """t-horizon for every norm ord (reference norm_reward.py:52-66 semantics):
+    -(1/min(H,t)) * sum_i ||u(t-i)||_ord, computed against a replayed full
+    sub-step history. L1/L-inf exercise the auxiliary norm ring."""
+    H = 4
+    rew = NormReward(nt=101, norm=norm, horizon="t-horizon", t_horizon_length=H)
+    env = _env(rew)
+    u0 = np.linspace(0.5, 2.0, 100).astype(np.float32)
+    beta = np.full(100, 0.8, np.float32)
+    state, _ = env.init_from(u0, beta)
+    state2, _ = env.init_from(u0, beta)  # plain-step twin
+    hist = [u0]
+    ords = {"1": 1, "2": 2, "inf": np.inf}
+    step_h = jax.jit(env.step_with_history)
+    step = jax.jit(lambda s, a: env.step(s, a))
+    for k in range(4):
+        state, out, rows = step_h(state, jnp.float32(0.3))
+        state2, out2 = step(state2, jnp.float32(0.3))
+        hist.extend(list(np.asarray(rows)))
+        t = int(state.time_index)
+        vals = [np.linalg.norm(hist[t - i], ord=ords[norm])
+                for i in range(min(H, t))]
+        expect = -np.mean(vals)
+        np.testing.assert_allclose(float(out.reward), expect, rtol=1e-5)
+        np.testing.assert_allclose(float(out2.reward), expect, rtol=1e-5)
