@@ -982,17 +982,19 @@ class NavierStokes2D(gym.Env):
         ])
         return new_state, jnp.concatenate([out.obs.reshape(-1).astype(w), tail])
 
+    # state fields unpack from the carried layout (no-op unless the fused
+    # kernel packs, which needs an explicit f32+direct config here)
     @property
     def u(self):
-        return np.asarray(self._state.u)
+        return np.asarray(self.fenv._unpack(self._state.u))
 
     @property
     def v(self):
-        return np.asarray(self._state.v)
+        return np.asarray(self.fenv._unpack(self._state.v))
 
     @property
     def p(self):
-        return np.asarray(self._state.p)
+        return np.asarray(self.fenv._unpack(self._state.p))
 
     def solve_pressure(self, u, v, p_prev):
         """Generic fixed-iteration Poisson solve, reused by the adjoint

@@ -86,6 +86,16 @@ class NavierStokesConfig:
     # "fused": force the kernel (interpret-mode on CPU; raises if the config
     # is ineligible). step() (unbatched) always uses the XLA path.
     step_backend: str = "auto"
+    # Carried field layout when the fused kernel is active. "auto": fold
+    # r = 128//nx rows into the lane axis ((ny, nx) → (ny//r, nx·r), see
+    # ops/ns_fused.pack_field) whenever the grid folds evenly — f32 (8, 128)
+    # tiling pads nx<128 lanes, so the logical layout pays ~2x the HBM↔VMEM
+    # DMA on a kernel that is ~70% DMA-bound. State fields (u, v, p) are then
+    # PACKED between steps; observations, step() and every public surface
+    # stay in the logical (ny, nx) layout (unpacked lazily — XLA drops the
+    # unpack when nothing consumes it, e.g. open-loop rollouts). "off":
+    # logical layout everywhere.
+    packed_layout: str = "auto"
     # per-edge (u_condition, v_condition) ordered (lower, upper, left, right);
     # default mirrors the examples' dict: controllable lid at the upper edge
     # (``NS2Dppo.py:21-26``). Use freeze_boundary_condition() to convert a dict.
@@ -188,7 +198,11 @@ class NavierStokesEnv(FunctionalEnv):
             if solver == "matpow"
             else None
         )
+        self._pack_r = 1
         self._fused_step = self._build_fused_step()
+        self._U_ref_carried = self._pack_ref(self.U_ref)
+        if self._pack_r > 1:
+            self.observe_batch = self._observe_batch
 
     def _build_fused_step(self):
         c = self.config
@@ -213,23 +227,31 @@ class NavierStokesEnv(FunctionalEnv):
             # back to the XLA path instead of failing to compile. Only
             # "fused" forces the kernel.
             return None
-        from pdecontrolgym_tpu.ops.ns_fused import make_fused_ns_step
+        from pdecontrolgym_tpu.ops.ns_fused import make_fused_ns_step, pick_pack_r
 
+        if getattr(c, "packed_layout", "auto") == "auto":
+            self._pack_r = pick_pack_r(c.ny, c.nx)
         fused = make_fused_ns_step(
             ny=c.ny, nx=c.nx, dx=c.dx, dy=c.dy, dt=c.dt,
             viscosity=c.viscosity, density=c.density,
             boundary_condition=c.boundary_condition, dtype=jnp.float32,
+            pack_r=self._pack_r,
             interpret=on_cpu,
         )
         # Mosaic kernels have no autodiff rule; without this wrapper
         # jax.grad through a batched direct+f32 step would raise where the
         # XLA path differentiates. Forward = the kernel (bitwise-parity-
         # tested vs _projection); backward = the VJP of the batched XLA
-        # projection (direct_pressure ignores its p0 argument, so zeros
-        # stand in for the previous pressure).
-        xla_batched = jax.vmap(
-            lambda u, v, a: self._projection(u, v, jnp.zeros_like(u), a)
-        )
+        # projection lifted to the carried layout (pack/unpack are
+        # permutations, so their transposes are exact; direct_pressure
+        # ignores its p0 argument, so zeros stand in for the previous
+        # pressure).
+        def _xla_twin(u, v, a):
+            uu, vv = self._unpack(u), self._unpack(v)
+            un, vn, pn = self._projection(uu, vv, jnp.zeros_like(uu), a)
+            return self._pack(un), self._pack(vn), self._pack(pn)
+
+        xla_batched = jax.vmap(_xla_twin)
 
         @jax.custom_vjp
         def fused_step(u, v, act):
@@ -244,6 +266,30 @@ class NavierStokesEnv(FunctionalEnv):
 
         fused_step.defvjp(_fwd, _bwd)
         return fused_step
+
+    # -- carried (packed) layout helpers --------------------------------------
+
+    def _pack(self, f):
+        """Logical (…, ny, nx) → carried layout (no-op unless packed)."""
+        from pdecontrolgym_tpu.ops.ns_fused import pack_field
+
+        return pack_field(f, self._pack_r)
+
+    def _unpack(self, f):
+        """Carried layout → logical (…, ny, nx) (no-op unless packed)."""
+        from pdecontrolgym_tpu.ops.ns_fused import unpack_field
+
+        return unpack_field(f, self._pack_r)
+
+    def _pack_ref(self, U_ref):
+        """Tracking target in the carried layout ((nt, m, L, 2) when packed):
+        NSReward's tracking term is a permutation-invariant elementwise sum,
+        so rewards are computed in the carried layout without unpacking."""
+        if self._pack_r == 1:
+            return U_ref
+        return jnp.stack(
+            [self._pack(U_ref[..., 0]), self._pack(U_ref[..., 1])], axis=-1
+        )
 
     @property
     def fixed_episode_length(self):
@@ -314,18 +360,34 @@ class NavierStokesEnv(FunctionalEnv):
         return self.init_from(u0, v0, p0)
 
     def init_from(self, u0, v0, p0):
+        """Build a fresh state from LOGICAL (ny, nx) fields (stored in the
+        carried layout when the fused kernel packs, see ``packed_layout``)."""
         c = self.config
         state = NavierStokesState(
-            u=jnp.asarray(u0, c.dtype),
-            v=jnp.asarray(v0, c.dtype),
-            p=jnp.asarray(p0, c.dtype),
+            u=self._pack(jnp.asarray(u0, c.dtype)),
+            v=self._pack(jnp.asarray(v0, c.dtype)),
+            p=self._pack(jnp.asarray(p0, c.dtype)),
             time_index=jnp.asarray(0, jnp.int32),
         )
         return state, self._observe(state)
 
     def _observe(self, state):
-        # obs frame (nx, ny, 2) like U[time_index] (base_env_2d.py:50)
-        return jnp.stack([state.u, state.v], axis=-1)
+        # obs frame (nx, ny, 2) like U[time_index] (base_env_2d.py:50);
+        # always LOGICAL layout — the unpack is a no-op when not packed, and
+        # XLA drops it whenever nothing consumes the observation values
+        return jnp.stack(
+            [self._unpack(state.u), self._unpack(state.v)], axis=-1
+        )
+
+    def _observe_batch(self, state):
+        """Batched pure-function-of-state observation (NS adds no sensing
+        noise). Exposed as ``observe_batch`` ONLY in packed mode (see
+        ``__init__``): ``parallel/rollout`` then carries ONLY the state
+        between scan steps and recomputes obs in-body, so the (B, ny, nx, 2)
+        unpack is dead code whenever the policy ignores observation values.
+        Unpacked envs keep the carried-obs path, whose program graph is
+        bit-identical to the generic rollout's."""
+        return self._observe(state)
 
     def solve_pressure(self, u, v, p_prev, iters: Optional[int] = None):
         c = self.config
@@ -371,23 +433,33 @@ class NavierStokesEnv(FunctionalEnv):
 
     def _advance(self, state: NavierStokesState, action):
         """Physics + bookkeeping; reward is applied separately so
-        ``step_batch`` can share the tracking-target lookup."""
+        ``step_batch`` can share the tracking-target lookup. The XLA
+        projection runs on logical fields (unpack/repack are no-ops unless
+        the fused kernel packs the carried state)."""
         c = self.config
         u_next, v_next, pressure = self._projection(
-            state.u, state.v, state.p, action
+            self._unpack(state.u), self._unpack(state.v),
+            self._unpack(state.p), action
         )
         t = state.time_index + 1
-        new_state = NavierStokesState(u=u_next, v=v_next, p=pressure, time_index=t)
-        frame = self._observe(new_state)
+        new_state = NavierStokesState(
+            u=self._pack(u_next), v=self._pack(v_next),
+            p=self._pack(pressure), time_index=t,
+        )
+        frame = jnp.stack([u_next, v_next], axis=-1)
         terminated = t >= c.nt - 1
         return new_state, frame, terminated, t
 
     def _advance_batch(self, state: NavierStokesState, actions):
         """Batched physics: the fused Pallas step when built (see
-        ``step_backend``), else ``vmap`` over the XLA ``_advance``. Same
-        (new_state, frames, terminated, ts) contract either way."""
+        ``step_backend``), else ``vmap`` over the XLA ``_advance``. Returns
+        frames in the CARRIED layout (packed when the kernel packs) — the
+        reward consumes them directly; ``step_batch`` unpacks for obs."""
         if self._fused_step is None:
-            return jax.vmap(self._advance)(state, actions)
+            new_state, frames, terminated, ts = jax.vmap(self._advance)(
+                state, actions
+            )
+            return new_state, frames, terminated, ts
         c = self.config
         act = jnp.asarray(actions, c.dtype).reshape(state.u.shape[0], -1)
         u, v, p = self._fused_step(state.u, state.v, act)
@@ -445,9 +517,13 @@ class NavierStokesEnv(FunctionalEnv):
         the runtime check with the per-env gather fallback for hand-built
         mixed-time batches."""
         new_state, frames, terminated, ts = self._advance_batch(state, actions)
+        # frames and _U_ref_carried share the carried layout (packed when the
+        # fused kernel packs): the tracking reward is a permutation-invariant
+        # elementwise sum, so no per-step unpack is needed for rewards
+        U_ref_c = self._U_ref_carried
 
         def shared_ref(_):
-            row = jax.lax.dynamic_index_in_dim(self.U_ref, ts[0], 0, keepdims=False)
+            row = jax.lax.dynamic_index_in_dim(U_ref_c, ts[0], 0, keepdims=False)
             arow = jax.lax.dynamic_index_in_dim(self.action_ref, ts[0], 0, keepdims=False)
             return jax.vmap(
                 lambda fr, tt, term, ac: self._reward_at(fr, tt, term, ac, row, arow)
@@ -455,7 +531,7 @@ class NavierStokesEnv(FunctionalEnv):
 
         def gathered_ref(_):
             return jax.vmap(self._reward_at)(
-                frames, ts, terminated, actions, self.U_ref[ts], self.action_ref[ts]
+                frames, ts, terminated, actions, U_ref_c[ts], self.action_ref[ts]
             )
 
         if getattr(self.config, "lockstep_targets", True):
@@ -469,8 +545,17 @@ class NavierStokesEnv(FunctionalEnv):
             reward = jax.lax.cond(
                 (ts == ts[0]).all(), shared_ref, gathered_ref, None
             )
+        if self._pack_r > 1:
+            # public obs contract stays logical (B, ny, nx, 2); XLA drops
+            # this unpack whenever nothing consumes the observation values
+            obs = jnp.stack(
+                [self._unpack(frames[..., 0]), self._unpack(frames[..., 1])],
+                axis=-1,
+            )
+        else:
+            obs = frames
         return new_state, StepOut(
-            obs=frames,
+            obs=obs,
             reward=reward,
             terminated=terminated,
             truncated=jnp.zeros_like(terminated),

@@ -169,7 +169,26 @@ def _rollout_fixed_len(env, policy_fn, num_envs, num_steps, key, L,
     keys = jax.random.split(key, num_steps + num_steps // L)
     key_pos = 0
 
+    # An env whose observation is a pure function of state (no sensing
+    # noise) can declare ``observe_batch(state)``: the scan then carries ONLY
+    # the state and recomputes obs in-body. This matters for NS's packed
+    # fused mode — a carried obs would materialize the (B, ny, nx, 2) unpack
+    # every step even when the policy ignores observation values; recomputed
+    # in-body, XLA dead-codes it instead.
+    observe = getattr(env, "observe_batch", None)
+
     def plain_segment(state, obs, seg_keys):
+        if observe is not None:
+            def body(state, step_key):
+                actions = policy_fn(observe(state), jax.random.split(step_key)[0])
+                state, out = raw(state, actions, None)
+                return state, out
+
+            state, outs = jax.lax.scan(body, state, seg_keys)
+            # == the last step's out.obs (observe is a pure fn of state) but
+            # does not force the stacked per-step obs buffer live
+            return (state, observe(state)), outs
+
         def body(carry, step_key):
             state, obs = carry
             actions = policy_fn(obs, jax.random.split(step_key)[0])

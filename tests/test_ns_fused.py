@@ -60,30 +60,44 @@ def _env(cfg):
 def _batch_state(env, batch, seed=0):
     keys = jax.random.split(jax.random.PRNGKey(seed), batch)
     state, _ = jax.vmap(env.init)(keys)
-    # bounded, non-constant fields so the nonlinear terms are exercised
+    # bounded, non-constant fields so the nonlinear terms are exercised;
+    # fields go through env._pack so packed-layout envs get carried-layout
+    # state (a no-op for unpacked envs)
     ku, kv = jax.random.split(jax.random.PRNGKey(seed + 1))
     shape = (batch, env.config.ny, env.config.nx)
     return state.replace(
-        u=0.2 * jax.random.normal(ku, shape, jnp.float32),
-        v=0.2 * jax.random.normal(kv, shape, jnp.float32),
+        u=env._pack(0.2 * jax.random.normal(ku, shape, jnp.float32)),
+        v=env._pack(0.2 * jax.random.normal(kv, shape, jnp.float32)),
     )
 
 
 @pytest.mark.parametrize("bc,batch", [(LID_BC, 4), (MIXED_BC, 3)])
-def test_fused_matches_xla_path(bc, batch):
-    fused_env = _env(_cfg(bc, step_backend="fused"))
+@pytest.mark.parametrize("packed", ["auto", "off"])
+def test_fused_matches_xla_path(bc, batch, packed):
+    fused_env = _env(_cfg(bc, step_backend="fused", packed_layout=packed))
     xla_env = _env(_cfg(bc, step_backend="xla"))
     assert fused_env._fused_step is not None
     assert xla_env._fused_step is None
+    if packed == "auto":
+        assert fused_env._pack_r > 1  # 16x16 folds to (2, 128)
+    else:
+        assert fused_env._pack_r == 1
 
+    xs = _batch_state(xla_env, batch)
     fs = _batch_state(fused_env, batch)
-    xs = fs
     acts = jnp.linspace(-1.5, 2.0, batch, dtype=jnp.float32)[:, None]
     for _ in range(3):
         fs, fout = fused_env.step_batch(fs, acts)
         xs, xout = xla_env.step_batch(xs, acts)
-        for a, b in ((fs.u, xs.u), (fs.v, xs.v), (fs.p, xs.p)):
+        for a, b in (
+            (fused_env._unpack(fs.u), xs.u),
+            (fused_env._unpack(fs.v), xs.v),
+            (fused_env._unpack(fs.p), xs.p),
+        ):
             np.testing.assert_allclose(a, b, rtol=0, atol=2e-5)
+        # public obs stays logical regardless of the carried layout
+        assert fout.obs.shape == xout.obs.shape
+        np.testing.assert_allclose(fout.obs, xout.obs, rtol=0, atol=2e-5)
         np.testing.assert_allclose(fout.reward, xout.reward, rtol=1e-4, atol=1e-5)
         np.testing.assert_array_equal(fout.terminated, xout.terminated)
 
@@ -108,21 +122,29 @@ def test_fused_rejects_ineligible_config():
 @pytest.mark.parametrize("bc", [LID_BC, MIXED_BC])
 def test_fused_step_is_differentiable(bc):
     """jax.grad through the fused batched step must work (custom_vjp whose
-    backward re-runs the XLA projection) and agree with the pure-XLA path."""
-    fused_env = _env(_cfg(bc, step_backend="fused"))
+    backward re-runs the XLA projection) and agree with the pure-XLA path —
+    including in packed-carried-layout mode, where pack/unpack transposes
+    must land the cotangents back in logical space."""
+    fused_env = _env(_cfg(bc, step_backend="fused"))  # packed_layout="auto"
     xla_env = _env(_cfg(bc, step_backend="xla"))
-    state = _batch_state(fused_env, 3)
+    xstate = _batch_state(xla_env, 3)
     acts = jnp.linspace(-1.0, 1.5, 3, dtype=jnp.float32)[:, None]
 
     def loss(env):
+        # parametrized by the LOGICAL u so the two envs' gradients live in
+        # the same space; sums are taken over logical fields
         def f(u, a):
-            s = state.replace(u=u)
+            s = jax.tree_util.tree_map(jnp.copy, xstate)
+            s = s.replace(
+                u=env._pack(u), v=env._pack(xstate.v), p=env._pack(xstate.p)
+            )
             new_state, out = env.step_batch(s, a)
             return (new_state.u.sum() + new_state.v.sum()
-                    + new_state.p[:, 1:-1, 1:-1].sum() + out.reward.sum())
+                    + env._unpack(new_state.p)[:, 1:-1, 1:-1].sum()
+                    + out.reward.sum())
         return f
 
-    gf_u, gf_a = jax.grad(loss(fused_env), argnums=(0, 1))(state.u, acts)
-    gx_u, gx_a = jax.grad(loss(xla_env), argnums=(0, 1))(state.u, acts)
+    gf_u, gf_a = jax.grad(loss(fused_env), argnums=(0, 1))(xstate.u, acts)
+    gx_u, gx_a = jax.grad(loss(xla_env), argnums=(0, 1))(xstate.u, acts)
     np.testing.assert_allclose(gf_u, gx_u, rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(gf_a, gx_a, rtol=1e-5, atol=1e-6)
