@@ -199,6 +199,7 @@ class NavierStokesEnv(FunctionalEnv):
             else None
         )
         self._pack_r = 1
+        self._fused_track = False
         self._fused_step = self._build_fused_step()
         self._U_ref_carried = self._pack_ref(self.U_ref)
         if self._pack_r > 1:
@@ -228,24 +229,60 @@ class NavierStokesEnv(FunctionalEnv):
             # "fused" forces the kernel.
             return None
         from pdecontrolgym_tpu.ops.ns_fused import make_fused_ns_step, pick_pack_r
+        from pdecontrolgym_tpu.rewards.ns import NSReward
 
         if getattr(c, "packed_layout", "auto") == "auto":
             self._pack_r = pick_pack_r(c.ny, c.nx)
+        # When the reward is the stock NSReward and batches are lockstep,
+        # the kernel also reduces the tracking term Σ(U−U_ref[t])² in VMEM
+        # on the just-computed fields (the XLA reduce re-read both (B,·,·)
+        # fields from HBM every step); step_batch then assembles the reward
+        # from the per-env sums.
+        self._fused_track = (
+            type(self.reward) is NSReward
+            and getattr(c, "lockstep_targets", True)
+        )
         fused = make_fused_ns_step(
             ny=c.ny, nx=c.nx, dx=c.dx, dy=c.dy, dt=c.dt,
             viscosity=c.viscosity, density=c.density,
             boundary_condition=c.boundary_condition, dtype=jnp.float32,
             pack_r=self._pack_r,
+            track_ref=self._fused_track,
             interpret=on_cpu,
         )
         # Mosaic kernels have no autodiff rule; without this wrapper
         # jax.grad through a batched direct+f32 step would raise where the
-        # XLA path differentiates. Forward = the kernel (bitwise-parity-
-        # tested vs _projection); backward = the VJP of the batched XLA
-        # projection lifted to the carried layout (pack/unpack are
-        # permutations, so their transposes are exact; direct_pressure
-        # ignores its p0 argument, so zeros stand in for the previous
-        # pressure).
+        # XLA path differentiates. Forward = the kernel (parity-tested vs
+        # _projection); backward = the VJP of the batched XLA projection
+        # lifted to the carried layout (pack/unpack are permutations, so
+        # their transposes are exact; direct_pressure ignores its p0
+        # argument, so zeros stand in for the previous pressure).
+        if self._fused_track:
+
+            def _xla_twin(u, v, a, uref, vref):
+                uu, vv = self._unpack(u), self._unpack(v)
+                un, vn, pn = self._projection(uu, vv, jnp.zeros_like(uu), a)
+                up_, vp_ = self._pack(un), self._pack(vn)
+                ts = (jnp.sum(jnp.square(up_ - uref))
+                      + jnp.sum(jnp.square(vp_ - vref)))
+                return up_, vp_, self._pack(pn), ts[None]
+
+            xla_batched = jax.vmap(_xla_twin, in_axes=(0, 0, 0, None, None))
+
+            @jax.custom_vjp
+            def fused_step(u, v, act, uref, vref):
+                return fused(u, v, act, uref, vref)
+
+            def _fwd(u, v, act, uref, vref):
+                return fused(u, v, act, uref, vref), (u, v, act, uref, vref)
+
+            def _bwd(residuals, cotangents):
+                _, vjp_fn = jax.vjp(xla_batched, *residuals)
+                return vjp_fn(tuple(cotangents))
+
+            fused_step.defvjp(_fwd, _bwd)
+            return fused_step
+
         def _xla_twin(u, v, a):
             uu, vv = self._unpack(u), self._unpack(v)
             un, vn, pn = self._projection(uu, vv, jnp.zeros_like(uu), a)
@@ -454,20 +491,32 @@ class NavierStokesEnv(FunctionalEnv):
         """Batched physics: the fused Pallas step when built (see
         ``step_backend``), else ``vmap`` over the XLA ``_advance``. Returns
         frames in the CARRIED layout (packed when the kernel packs) — the
-        reward consumes them directly; ``step_batch`` unpacks for obs."""
+        reward consumes them directly; ``step_batch`` unpacks for obs. The
+        5th element is the kernel-reduced per-env tracking sum
+        Σ(U−U_ref[t])² when ``_fused_track`` (else None)."""
         if self._fused_step is None:
             new_state, frames, terminated, ts = jax.vmap(self._advance)(
                 state, actions
             )
-            return new_state, frames, terminated, ts
+            return new_state, frames, terminated, ts, None
         c = self.config
         act = jnp.asarray(actions, c.dtype).reshape(state.u.shape[0], -1)
-        u, v, p = self._fused_step(state.u, state.v, act)
         ts = state.time_index + 1
+        if self._fused_track:
+            row = jax.lax.dynamic_index_in_dim(
+                self._U_ref_carried, ts[0], 0, keepdims=False
+            )
+            u, v, p, tsum = self._fused_step(
+                state.u, state.v, act, row[..., 0], row[..., 1]
+            )
+            track = tsum[:, 0]
+        else:
+            u, v, p = self._fused_step(state.u, state.v, act)
+            track = None
         new_state = NavierStokesState(u=u, v=v, p=p, time_index=ts)
         frames = jnp.stack([u, v], axis=-1)
         terminated = ts >= c.nt - 1
-        return new_state, frames, terminated, ts
+        return new_state, frames, terminated, ts, track
 
     def _reward_at(self, frame, t, terminated, action, frame_ref, action_ref):
         c = self.config
@@ -516,11 +565,27 @@ class NavierStokesEnv(FunctionalEnv):
         end-to-end on the round-3 XLA. ``lockstep_targets=False`` restores
         the runtime check with the per-env gather fallback for hand-built
         mixed-time batches."""
-        new_state, frames, terminated, ts = self._advance_batch(state, actions)
+        new_state, frames, terminated, ts, track = self._advance_batch(
+            state, actions
+        )
         # frames and _U_ref_carried share the carried layout (packed when the
         # fused kernel packs): the tracking reward is a permutation-invariant
         # elementwise sum, so no per-step unpack is needed for rewards
         U_ref_c = self._U_ref_carried
+
+        def kernel_track_reward():
+            # _fused_track: the kernel already reduced Σ(U−U_ref[t])² per
+            # env in VMEM; assemble NSReward's formula from the sums
+            # (ns_reward.py:15-28 semantics, lockstep row)
+            c = self.config
+            arow = jax.lax.dynamic_index_in_dim(
+                self.action_ref, ts[0], 0, keepdims=False
+            )
+            acts2 = jnp.asarray(actions, c.dtype).reshape(track.shape[0], -1)
+            act_term = jnp.sum(jnp.square(acts2 - arow), axis=-1)
+            gamma = self.reward.gamma
+            return (-0.5 * track / (c.nx * c.ny)
+                    - 0.5 * gamma * act_term)
 
         def shared_ref(_):
             row = jax.lax.dynamic_index_in_dim(U_ref_c, ts[0], 0, keepdims=False)
@@ -535,7 +600,7 @@ class NavierStokesEnv(FunctionalEnv):
             )
 
         if getattr(self.config, "lockstep_targets", True):
-            reward = shared_ref(None)
+            reward = kernel_track_reward() if track is not None else shared_ref(None)
             # fail LOUD on hand-built mixed-time batches instead of silently
             # rewarding every env against env 0's target row (the check is
             # one (B,) compare + select — the round-2 lax.cond this replaces

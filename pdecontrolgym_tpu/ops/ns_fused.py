@@ -90,8 +90,12 @@ def fused_basis(ny: int, nx: int, dtype=jnp.float32):
     }
 
 
-def _pick_tile_b(batch: int) -> int:
-    for tb in (32, 16, 8, 4, 2, 1):
+def _pick_tile_b(batch: int, pack_r: int = 1) -> int:
+    # packed blocks are half the VMEM, and the measured sweet spot moves up:
+    # tb=128 beats 32 by ~13% at 2048x64x64 (fewer grid steps to pay per-tile
+    # overhead on; still far below the raised VMEM ceiling)
+    sizes = (128, 64, 32, 16, 8, 4, 2, 1) if pack_r > 1 else (32, 16, 8, 4, 2, 1)
+    for tb in sizes:
         if batch % tb == 0:
             return tb
     return 1
@@ -146,7 +150,9 @@ def make_fused_ns_step(
     pack_r: int = 1,
     packed_compute: bool = True,
     write_pressure: bool = True,
+    track_ref: bool = False,
     interpret: bool = False,
+    _ablate: str = "",
 ):
     """Build ``fn(u, v, action) -> (u_next, v_next, p)`` over ``(B, ny, nx)``
     batches — the full projection step of ``NavierStokesEnv._advance`` as one
@@ -168,6 +174,37 @@ def make_fused_ns_step(
     nu, rho = float(viscosity), float(density)
     dxf, dyf, dtf = float(dx), float(dy), float(dt)
 
+    # Packed-native x-side transforms: with fields packed (m, L), the x
+    # contraction of every lane chunk runs as ONE block-diagonal (L, L)
+    # matmul — kron(I_r, Qx) — turning a K=N=nx (quarter-utilized at nx=64)
+    # MXU matmul into a full-width K=N=128 one: 2x fewer MXU cycles for the
+    # same math (the extra operand zeros add exact 0.0 terms). g then never
+    # needs unpacking and the backward x-transform lands p directly packed.
+    if r > 1 and packed_compute:
+        import numpy as _np
+
+        _eye = _np.eye(r, dtype=_np.float32)
+        qx_in = jnp.asarray(_np.kron(_eye, _np.asarray(basis["qx"])), dtype)
+        qxT_in = jnp.asarray(_np.kron(_eye, _np.asarray(basis["qxT"])), dtype)
+        cx = L
+    else:
+        qx_in, qxT_in = basis["qx"], basis["qxT"]
+        cx = nx
+
+    # Statically fused boundary-condition plan: for a field with no Neumann
+    # edge, the reference's 4 sequential edge writes collapse to at most two
+    # masked selects ("last writer wins" is computable at trace time from
+    # the static write order lower/upper/left/right). Fields with a Neumann
+    # edge keep the sequential chain (its inner-neighbor reads depend on
+    # prior writes at corners).
+    _bc_plans = []
+    for _i in range(2):
+        _conds = [boundary_condition[_e][_i] for _e in range(4)]
+        if any(_c == "Neumann" for _c in _conds):
+            _bc_plans.append(None)
+        else:
+            _bc_plans.append([_c == "Controllable" for _c in _conds])
+
     def _shift_x_plain(f, k):
         # out[..., x] = f[..., x+k], zero-filled at the vacated border
         z = jnp.zeros(f.shape[:-1] + (1,), f.dtype)
@@ -184,33 +221,28 @@ def make_fused_ns_step(
     # packed-shift masks, built ONCE per kernel invocation by _packed_masks
     # (inside the kernel body — pallas rejects captured traced constants)
     # so every shift call reuses one iota+compare
-    _xbad = {}
-    _ywrap_valid = {}
     _yedge = {}
 
     def _packed_masks():
         # called at the top of every kernel trace: clears any tracers from a
         # previous trace and rebuilds the masks inside the current one
-        _xbad.clear(), _ywrap_valid.clear(), _yedge.clear()
+        _yedge.clear()
         if r == 1:
             return
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, m, L), 2)
         sub = jax.lax.broadcasted_iota(jnp.int32, (1, m, L), 1)
-        _xbad[1] = (lane % nx) == nx - 1
-        _xbad[-1] = (lane % nx) == 0
-        _ywrap_valid[1] = lane < L - nx
-        _ywrap_valid[-1] = lane >= nx
         _yedge[1] = sub == m - 1
         _yedge[-1] = sub == 0
 
     def _shift_x(f, k):
-        # packed-aware: a logical x-shift is a lane shift, with the lanes
-        # that crossed a chunk boundary (logical col wrapped) zeroed —
-        # exactly the zero-fill the plain shift gives at the array border
-        out = _shift_x_plain(f, k)
-        if r > 1:
-            out = jnp.where(_xbad[k], jnp.zeros_like(out), out)
-        return out
+        # packed-aware: a logical x-shift is just the lane shift. Lanes that
+        # crossed a chunk boundary carry the NEIGHBORING logical row's value
+        # instead of the logical zero-fill — deliberately left unmasked:
+        # every consumer in this kernel (interior-masked derivatives, edge
+        # Neumann reads, ring copies) reads only lanes where shift and
+        # logical semantics agree, so the per-call cleanup select is pure
+        # overhead. Do NOT reuse for a consumer that reads a field's
+        # opposite-edge column through the shift.
+        return _shift_x_plain(f, k)
 
     def _sroll(f, k):
         # circular sublane roll out[s] = f[(s+k) % m] as slice + concat along
@@ -238,11 +270,12 @@ def make_fused_ns_step(
         # sublane/lane offsets, which Mosaic refuses to concatenate.
         if r == 1:
             return _shift_y_plain(f, k)
+        # the wrap row's out-of-range lanes (logical rows beyond the grid,
+        # i.e. the vacated final chunk) carry wrapped-around values instead
+        # of the logical zero-fill — unmasked for the same reason as
+        # _shift_x: no consumer in this kernel reads them
         ro = _sroll(f, k)  # edge sublane now holds the wrap source row
-        wrap = jnp.where(
-            _ywrap_valid[k], _lroll(ro, k * nx), jnp.zeros_like(f)
-        )
-        return jnp.where(_yedge[k], wrap, ro)
+        return jnp.where(_yedge[k], _lroll(ro, k * nx), ro)
 
     def _masks(rows, lanes):
         # logical (row, col) recovered from (sublane, lane): lane chunk j
@@ -283,33 +316,86 @@ def make_fused_ns_step(
             [_sroll(f, j * m)[..., :m, :] for j in range(r)], axis=-1
         )
 
-    def _apply_bc(u, v, act, edges, SX, SY):
-        # static unroll of the reference's edge loop (navier_stokes2D.py:76-91)
-        # in write order lower/upper/left/right x (u, v); Neumann reads the
-        # CURRENT field's inner neighbor so corner overwrite chains match
+    def _bc_masks(edges):
+        # last-writer-wins masks per Neumann-free field: edge k's effective
+        # cells are its cells minus any later-written edge's (corner chains
+        # of the reference's sequential writes, resolved statically)
+        masks = []
+        for plan in _bc_plans:
+            if plan is None:
+                masks.append(None)
+                continue
+            zero_m = act_m = None
+            for k in range(4):
+                eff = edges[_EDGES[k]]
+                for k2 in range(k + 1, 4):
+                    eff = eff & ~edges[_EDGES[k2]]
+                if plan[k]:
+                    act_m = eff if act_m is None else (act_m | eff)
+                else:
+                    zero_m = eff if zero_m is None else (zero_m | eff)
+            masks.append((zero_m, act_m))
+        return masks
+
+    def _apply_bc(u, v, act, edges, SX, SY, bcm):
+        # the reference's edge loop (navier_stokes2D.py:76-91) in write order
+        # lower/upper/left/right x (u, v). Neumann-free fields use the fused
+        # two-select form (bcm); otherwise the sequential unroll, whose
+        # Neumann writes read the CURRENT field's inner neighbor so corner
+        # overwrite chains match.
         neighbor = {
             "lower": lambda f: SY(f, 1),
             "upper": lambda f: SY(f, -1),
             "left": lambda f: SX(f, 1),
             "right": lambda f: SX(f, -1),
         }
-        for pos, conds in zip(_EDGES, boundary_condition):
-            for i, cond in enumerate(conds):
-                f = u if i == 0 else v
-                if cond == "Neumann":
-                    f = jnp.where(edges[pos], neighbor[pos](f), f)
-                elif cond == "Controllable":
-                    f = jnp.where(edges[pos], act, f)
-                else:  # Dirichlet / "Dirchilet"
-                    f = jnp.where(edges[pos], jnp.zeros_like(f), f)
-                if i == 0:
-                    u = f
-                else:
-                    v = f
-        return u, v
+        out = []
+        for i, f in enumerate((u, v)):
+            if bcm[i] is not None:
+                zero_m, act_m = bcm[i]
+                if zero_m is not None:
+                    f = jnp.where(zero_m, jnp.zeros_like(f), f)
+                if act_m is not None:
+                    f = jnp.where(act_m, act, f)
+            else:
+                for pos, conds in zip(_EDGES, boundary_condition):
+                    cond = conds[i]
+                    if cond == "Neumann":
+                        f = jnp.where(edges[pos], neighbor[pos](f), f)
+                    elif cond == "Controllable":
+                        f = jnp.where(edges[pos], act, f)
+                    else:  # Dirichlet / "Dirchilet"
+                        f = jnp.where(edges[pos], jnp.zeros_like(f), f)
+            out.append(f)
+        return out[0], out[1]
 
-    def kernel(u_ref, v_ref, act_ref, qy_ref, qyT_ref, qx_ref, qxT_ref,
-               invT_ref, uo_ref, vo_ref, po_ref=None):
+    def kernel(*refs):
+        (u_ref, v_ref, act_ref, qy_ref, qyT_ref, qx_ref, qxT_ref,
+         invT_ref) = refs[:8]
+        pos = 8
+        uref_ref = vref_ref = None
+        if track_ref:
+            uref_ref, vref_ref = refs[8:10]
+            pos = 10
+        outs = refs[pos:]
+        uo_ref, vo_ref = outs[0], outs[1]
+        po_ref = outs[2] if write_pressure else None
+        ts_ref = outs[-1] if track_ref else None
+
+        def _track(u_out, v_out):
+            # NSReward's tracking term Σ(U−U_ref)² reduced IN VMEM on the
+            # just-computed fields (carried layout on both sides): the XLA
+            # reduce re-read both (B, m, L) fields from HBM every step —
+            # ~2 field DMAs that never overlap the next kernel call
+            if ts_ref is None:
+                return
+            du = u_out - uref_ref[:][None]
+            dv = v_out - vref_ref[:][None]
+            # staged reduction (sublanes, then lanes): a multi-axis
+            # jnp.sum(axis=(1, 2)) SIGABRTs this Mosaic version
+            s = jnp.sum(du * du + dv * dv, axis=1)  # (be, L)
+            ts_ref[:] = jnp.sum(s, axis=1, keepdims=True)
+
         be = u_ref.shape[0]
         _packed_masks()
         act = act_ref[:][:, :, None]  # (be, 1, 1) scalar per env
@@ -319,121 +405,172 @@ def make_fused_ns_step(
             u, v = _unpack_k(u_ref[:]), _unpack_k(v_ref[:])
             SX, SY = _shift_x_plain, _shift_y_plain
             interior, edges = _masks(ny, nx)
-            unpack_g = lambda f: f
             pack_out = _pack_k
         else:
             u, v = u_ref[:], v_ref[:]
             SX, SY = _shift_x, _shift_y
             interior, edges = _masks(m, L)
-            unpack_g = _unpack_k
             pack_out = lambda f: f
+        bcm = _bc_masks(edges)
 
         # -- predictor (zero-bordered derivatives == interior select) -------
+        # the four neighbor shifts of each field are computed ONCE and shared
+        # between the advection derivatives and the Laplacian
+        def d4(f):
+            return SX(f, 1), SX(f, -1), SY(f, 1), SY(f, -1)
+
+        def predict(f, fxp, fxm, fyp, fym):
+            ddxf = (fxp - fxm) * (0.5 / dxf)
+            ddyf = (fyp - fym) * (0.5 / dyf)
+            lapf = (fxm + fym - 4.0 * f + fxp + fyp) * (1.0 / (dxf * dyf))
+            return jnp.where(
+                interior,
+                f + dtf * (-u * ddxf - v * ddyf + nu * lapf),
+                f,
+            )
+
+        if "stencil" in _ablate:  # perf-ablation only (not semantics)
+            u_p, v_p = u * 0.999, v * 0.999
+        else:
+            u_p = predict(u, *d4(u))
+            v_p = predict(v, *d4(v))
+        if "bc" not in _ablate:
+            u_p, v_p = _apply_bc(u_p, v_p, act, edges, SX, SY, bcm)
+
         def ddx(f):
             return (SX(f, 1) - SX(f, -1)) * (0.5 / dxf)
 
         def ddy(f):
             return (SY(f, 1) - SY(f, -1)) * (0.5 / dyf)
 
-        def lap(f):
-            return (
-                SX(f, -1) + SY(f, -1) - 4.0 * f
-                + SX(f, 1) + SY(f, 1)
-            ) * (1.0 / (dxf * dyf))
-
-        u_p = jnp.where(
-            interior,
-            u + dtf * (-u * ddx(u) - v * ddy(u) + nu * lap(u)),
-            u,
-        )
-        v_p = jnp.where(
-            interior,
-            v + dtf * (-u * ddx(v) - v * ddy(v) + nu * lap(v)),
-            v,
-        )
-        u_p, v_p = _apply_bc(u_p, v_p, act, edges, SX, SY)
-
         # -- spectral pressure solve (direct_pressure semantics) ------------
-        # only g crosses into the unpacked domain and only p crosses back, so
-        # the matmul pipeline below is reused verbatim in packed mode and its
-        # numerics are unchanged
-        g = unpack_g(jnp.where(
+        g = jnp.where(
             interior,
             (-dxf * dyf * rho / dtf) * (ddx(u_p) + ddy(v_p)),
             jnp.zeros_like(u),
-        ))
+        )
+        if "spectral" in _ablate:
+            p = g
+            u_n = jnp.where(interior, u_p - (dtf / rho) * ddx(p), u_p)
+            v_n = jnp.where(interior, v_p - (dtf / rho) * ddy(p), v_p)
+            if "bc" not in _ablate:
+                u_n, v_n = _apply_bc(u_n, v_n, act, edges, SX, SY, bcm)
+            uo_ref[:] = pack_out(u_n)
+            vo_ref[:] = pack_out(v_n)
+            if po_ref is not None:
+                po_ref[:] = pack_out(p)
+            _track(uo_ref[:], vo_ref[:])
+            return
         qy, qyT, qx, qxT, invT = (
             qy_ref[:], qyT_ref[:], qx_ref[:], qxT_ref[:], invT_ref[:]
         )
+
+        _prec = (jax.lax.Precision.DEFAULT if "mxdefault" in _ablate
+                 else jax.lax.Precision.HIGHEST)
 
         def bdot(x3, m2, rows):
             # (be, rows, k) @ (k, cols): every env batches into ONE MXU matmul
             return jnp.dot(
                 x3.reshape(be * rows, m2.shape[0]), m2,
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+                precision=_prec,
             ).reshape(be, rows, m2.shape[1])
 
-        # transpose-pipelined transform: each contraction is a batched
-        # (be·dim, dim) @ (dim, dim) matmul on the minor axis; the two
-        # batched minor-dim transposes swap which grid axis is minor.
-        # A[b,y,l] = Σx g·Qx; Tt[b,l,k] = Σy At·Qy (= T transposed);
-        # E[b,l,y] = Σk (Tt⊙invT)·Qyᵀ; P[b,y,x] = Σl Et·Qxᵀ.
-        a = jnp.swapaxes(bdot(g, qx, ny), 1, 2)
-        t = bdot(a, qy, nx) * invT
-        p = jnp.swapaxes(bdot(t, qyT, nx), 1, 2)
-        p = bdot(p, qxT, ny)
-        # the reference's sequential mirror-ring copies (corner chain order),
-        # in the unpacked domain p was produced in
-        _, edges_u = _masks(ny, nx) if (r > 1 and packed_compute) else (None, edges)
-        p = jnp.where(edges_u["right"], _shift_x_plain(p, -1), p)
-        p = jnp.where(edges_u["lower"], _shift_y_plain(p, 1), p)
-        p = jnp.where(edges_u["left"], _shift_x_plain(p, 1), p)
-        p = jnp.where(edges_u["upper"], _shift_y_plain(p, -1), p)
-        if packed_compute:
-            p = _pack_k(p)
+        if r > 1 and packed_compute:
+            # packed-native transform: x contractions are block-diagonal
+            # kron(I_r, Qx) matmuls on the packed layout (full MXU width);
+            # the y side runs in the logical domain reached by transposing
+            # the packed A and lane-concatenating its chunks (which IS the
+            # plain 'a' — no unpack needed). The backward x matmul lands p
+            # directly packed, so the ring copies run packed too.
+            a = jnp.swapaxes(bdot(g, qx, m), 1, 2)  # (be, L, m)
+            a = jnp.concatenate(
+                [a[:, j * nx : (j + 1) * nx, :] for j in range(r)], axis=-1
+            )  # (be, nx, ny) == plain A transposed: [l, y]
+            t = bdot(a, qy, nx) * invT
+            e = jnp.swapaxes(bdot(t, qyT, nx), 1, 2)  # (be, ny, nx): [y, l]
+            p = bdot(_pack_k(e), qxT, m)  # (be, m, L) packed P
+            p = jnp.where(edges["right"], SX(p, -1), p)
+            p = jnp.where(edges["lower"], SY(p, 1), p)
+            p = jnp.where(edges["left"], SX(p, 1), p)
+            p = jnp.where(edges["upper"], SY(p, -1), p)
+        else:
+            # transpose-pipelined transform: each contraction is a batched
+            # (be·dim, dim) @ (dim, dim) matmul on the minor axis; the two
+            # batched minor-dim transposes swap which grid axis is minor.
+            # A[b,y,l] = Σx g·Qx; Tt[b,l,k] = Σy At·Qy (= T transposed);
+            # E[b,l,y] = Σk (Tt⊙invT)·Qyᵀ; P[b,y,x] = Σl Et·Qxᵀ.
+            a = jnp.swapaxes(bdot(g, qx, ny), 1, 2)
+            t = bdot(a, qy, nx) * invT
+            p = jnp.swapaxes(bdot(t, qyT, nx), 1, 2)
+            p = bdot(p, qxT, ny)
+            # the reference's sequential mirror-ring copies (corner chain
+            # order), in the same domain p was produced in
+            p = jnp.where(edges["right"], _shift_x_plain(p, -1), p)
+            p = jnp.where(edges["lower"], _shift_y_plain(p, 1), p)
+            p = jnp.where(edges["left"], _shift_x_plain(p, 1), p)
+            p = jnp.where(edges["upper"], _shift_y_plain(p, -1), p)
 
         # -- corrector + boundary re-application ----------------------------
         u_n = jnp.where(interior, u_p - (dtf / rho) * ddx(p), u_p)
         v_n = jnp.where(interior, v_p - (dtf / rho) * ddy(p), v_p)
-        u_n, v_n = _apply_bc(u_n, v_n, act, edges, SX, SY)
+        u_n, v_n = _apply_bc(u_n, v_n, act, edges, SX, SY, bcm)
 
-        uo_ref[:] = pack_out(u_n)
-        vo_ref[:] = pack_out(v_n)
+        u_out, v_out = pack_out(u_n), pack_out(v_n)
+        uo_ref[:] = u_out
+        vo_ref[:] = v_out
         if po_ref is not None:
             po_ref[:] = pack_out(p)
+        _track(u_out, v_out)
 
     @functools.partial(jax.jit, static_argnames=())
-    def step(u, v, action):
+    def step(u, v, action, uref=None, vref=None):
         batch = u.shape[0]
-        tb = tile_b or _pick_tile_b(batch)
+        tb = tile_b or _pick_tile_b(batch, r)
         act = jnp.asarray(action, dtype).reshape(batch, -1)[:, :1]
         field = lambda: pl.BlockSpec((tb, m, L), lambda i: (i, 0, 0),
                                      memory_space=pltpu.VMEM)
         const = lambda rr, cc: pl.BlockSpec((rr, cc), lambda i: (0, 0),
                                             memory_space=pltpu.VMEM)
         out_shape = jax.ShapeDtypeStruct((batch, m, L), dtype)
-        n_out = 3 if write_pressure else 2
+        ins = [u, v, act, basis["qy"], basis["qyT"], qx_in, qxT_in,
+               basis["invT"]]
+        in_specs = [
+            field(), field(),
+            pl.BlockSpec((tb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            const(ny, ny), const(ny, ny),
+            const(cx, cx), const(cx, cx), const(nx, ny),
+        ]
+        out_specs = [field(), field()]
+        out_shapes = [out_shape, out_shape]
+        if write_pressure:
+            out_specs.append(field())
+            out_shapes.append(out_shape)
+        if track_ref:
+            # U_ref[t] row, shared by every env: two (m, L) consts per step
+            ins.extend([jnp.asarray(uref, dtype), jnp.asarray(vref, dtype)])
+            in_specs.extend([const(m, L), const(m, L)])
+            out_specs.append(
+                pl.BlockSpec((tb, 1), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+            )
+            out_shapes.append(jax.ShapeDtypeStruct((batch, 1), dtype))
         return pl.pallas_call(
             kernel,
             grid=(batch // tb,),
-            in_specs=[
-                field(), field(),
-                pl.BlockSpec((tb, 1), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-                const(ny, ny), const(ny, ny),
-                const(nx, nx), const(nx, nx), const(nx, ny),
-            ],
-            out_specs=[field()] * n_out,
-            out_shape=[out_shape] * n_out,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shapes,
             # the 16 MB scoped-vmem default is a compiler budget, not the
             # physical core limit (see ops/pallas1d.py); some tile sizes
-            # need more in-kernel scratch than the default allows
+            # need more in-kernel scratch than the default allows. The env
+            # grid axis is embarrassingly parallel — telling Mosaic lets it
+            # pipeline tiles without cross-iteration ordering constraints.
             compiler_params=None if interpret else pltpu.CompilerParams(
-                vmem_limit_bytes=128 * 1024 * 1024
+                vmem_limit_bytes=128 * 1024 * 1024,
+                dimension_semantics=("parallel",),
             ),
             interpret=interpret,
-        )(u, v, act, basis["qy"], basis["qyT"], basis["qx"], basis["qxT"],
-          basis["invT"])
+        )(*ins)
 
     return step

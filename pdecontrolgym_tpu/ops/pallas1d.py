@@ -83,7 +83,11 @@ def make_interval_fn_t(
         # narrower tiles pipeline better across the grid); lane blocks must
         # be 128-aligned on real TPUs
         tile_b = 128
-    make_aux = getattr(update_fn, "make_aux", lambda shape: None)
+    # make_aux(shape, beta_ref, ctrl) -> aux: per-tile loop-invariant
+    # precomputation run ONCE per interval (e.g. the implicit body's PCR
+    # coefficient elimination — the equivalent of XLA's loop-invariant code
+    # motion, but VMEM-resident)
+    make_aux = getattr(update_fn, "make_aux", lambda shape, beta_ref, ctrl: None)
     boundary_const = bool(getattr(update_fn, "boundary_const", False))
 
     def kernel(u_ref, beta_ref, ctrl_ref, t0_ref, uo_ref, norms_ref, bsum_ref,
@@ -92,7 +96,7 @@ def make_interval_fn_t(
         t0 = t0_ref[:]  # (1, tb) i32
         us[0:D, :] = u_ref[:]
         us[D:NP, :] = jnp.zeros((NP - D, us.shape[1]), u_ref.dtype)
-        aux = make_aux((D, us.shape[1]))
+        aux = make_aux((D, us.shape[1]), beta_ref, ctrl)
 
         def store_norm(j):
             u = us[0:D, :]
