@@ -80,9 +80,13 @@ def _rd_implicit_rows(num_envs, repeats, solvers):
     from pdecontrolgym_tpu.rewards.tuned import TunedReward1D
 
     for solver in solvers:
+        # "<solver>-xla" pins backend="xla" (backend="auto" now routes pcr
+        # through the fused Pallas interval kernel on TPU)
+        name, _, forced = solver.partition("-")
         cfg = ReactionDiffusionConfig(
             T=1.0, dt=4e-4, X=1.0, dx=1.0 / 256, control_sample_rate=0.01,
-            scheme="implicit", theta=0.5, implicit_solver=solver,
+            scheme="implicit", theta=0.5, implicit_solver=name,
+            backend=forced or "auto",
         )
         env = ReactionDiffusionEnv(cfg, TunedReward1D(int(round(cfg.T / cfg.dt))))
         policy = lambda obs, _k: -0.1 * obs[..., -2]

@@ -43,13 +43,18 @@ class ReactionDiffusionConfig(Boundary1DConfig):
     # - "thomas": batched O(n) forward/back sweeps (2n sequential VPU scan
     #   steps; works with any per-env β)
     # - "pcr": parallel cyclic reduction, O(log n) fully-vectorized steps
-    #   (works with any per-env β; ~7x thomas at 4096×257 — PERFORMANCE.md)
+    #   (works with any per-env β). With backend "auto"/"pallas" on TPU the
+    #   whole control interval runs as ONE VMEM-resident kernel: the
+    #   coefficient elimination happens once per interval and each sub-step
+    #   only reduces the rhs — 205M sub-steps/s at 4096×257 vs 53M for the
+    #   XLA pcr scan and 135M for dense (PERFORMANCE.md), while staying
+    #   correct for ANY β
     # - "dense": precompute the affine propagator u⁺ = P·u + q·b once on the
     #   host and apply it as ONE batched matmul per sub-step — the θ-scheme
     #   operators are constant, so the whole solve rides the MXU; requires an
     #   env-invariant β
-    # - "auto" (default): pcr — the measured winner among the solvers that
-    #   are correct for ANY β source. dense stays opt-in: it bakes the IC
+    # - "auto" (default): pcr — now the measured winner outright (the fused
+    #   kernel beats dense 1.5x). dense stays opt-in: it bakes the IC
     #   sampler's β into the propagator at construction, which would be
     #   silently wrong for users driving ``init_from`` with a different β
     implicit_solver: str = "auto"
@@ -82,11 +87,17 @@ class ReactionDiffusionEnv(Boundary1DEnv):
         # nx=2048 (62M vs 19M), 9.9x at 4096 (43.5M vs 4.4M), 11.5x at 8192
         # (23.5M vs 2.1M). The round-2 VMEM cliff above 2048 is gone
         # (single-buffered column blocks + full-VMEM ceiling, ops/pallas1d).
+        # Implicit+pcr: the in-kernel PCR keeps the rhs reduction in VMEM —
+        # XLA hoists the coefficient elimination out of the scan the same way
+        # but round-trips d through HBM every one of the 9 steps.
         import jax
 
-        return (getattr(self.config, "scheme", "explicit") == "explicit"
-                and 128 <= self.state_dim <= 16384
-                and jax.default_backend() != "cpu")
+        if jax.default_backend() == "cpu":
+            return False
+        scheme = getattr(self.config, "scheme", "explicit")
+        if scheme == "implicit":
+            return self._solver == "pcr" and 128 <= self.state_dim <= 8192
+        return 128 <= self.state_dim <= 16384
 
     def _advance(self, u_prev, beta, control):
         c = self.config
@@ -187,18 +198,28 @@ class ReactionDiffusionEnv(Boundary1DEnv):
 
     def _pallas_spec(self):
         from pdecontrolgym_tpu.core.sensing import is_neumann
-        from pdecontrolgym_tpu.ops.pallas1d import reaction_diffusion_update_t
+        from pdecontrolgym_tpu.ops.pallas1d import (
+            reaction_diffusion_implicit_update_t,
+            reaction_diffusion_update_t,
+        )
 
         c = self.config
-        if getattr(c, "scheme", "explicit") != "explicit":
-            return None
+        scheme = getattr(c, "scheme", "explicit")
+        if scheme == "implicit" and self._solver != "pcr":
+            return None  # thomas/dense stay XLA paths
         neumann = is_neumann(c.control_type)
         if neumann and c.normalize:
             # normalize() wraps the state-dependent Neumann update; not
             # expressible as a constant per-interval control — XLA fallback
             return None
-        update = reaction_diffusion_update_t(c.dt, c.dx, self.state_dim,
-                                             neumann)
+        if scheme == "implicit":
+            update = reaction_diffusion_implicit_update_t(
+                c.dt, c.dx, self.state_dim, float(getattr(c, "theta", 1.0)),
+                neumann,
+            )
+        else:
+            update = reaction_diffusion_update_t(c.dt, c.dx, self.state_dim,
+                                                 neumann)
         if neumann:
             ctrl = lambda control: control
         else:

@@ -299,6 +299,112 @@ def transport_update_t(dt: float, dx: float, nx: int):
     return update
 
 
+def reaction_diffusion_implicit_update_t(dt: float, dx: float,
+                                         state_dim: int, theta: float,
+                                         neumann: bool):
+    """Transposed in-place implicit θ-scheme sub-step with a VMEM-resident
+    PCR solve (``envs/reaction_diffusion.py:_implicit_interior`` semantics:
+    ``(I − θ·dt·L) u⁺ = (I + (1−θ)·dt·L) u``, edge rows pinned to u(0)=0 and
+    u(X)=control, L = ∂²/∂x² + diag(β)).
+
+    The tridiagonal coefficients are CONSTANT across sub-steps (β and dt are
+    fixed), so the whole PCR elimination of (a, b, c) runs ONCE per interval
+    in ``make_aux`` — storing the per-step (α, β) factors and 1/b — and each
+    sub-step only reduces the rhs: ceil(log2 n) steps of
+    ``d += α_k·shift(d, s) + β_k·shift(d, −s)`` plus one multiply, all on
+    the VMEM tile. XLA performs the same hoisting (LICM over the scan) but
+    pays HBM for every d round trip — the measured gap at 4096×257
+    (docs/PERFORMANCE.md). Zero-shift semantics at the array edges are
+    reproduced by giving the padded rows identity-row coefficients
+    (a=c=0, b=1, d=0) and one-filling b shifts, which also removes the XLA
+    path's division guard.
+    """
+    F = dt / dx**2
+    th = float(theta)
+    n = state_dim
+    dp = _pad8(n)
+    steps = max((max(n, 2) - 1).bit_length(), 1)
+
+    def _shift_rows(x, k, fill=0.0):
+        # out[i] = x[i-k] along the sublane (row) axis, fill at the vacated
+        # rows (k may be negative)
+        rows = x.shape[0]
+        pad = jnp.full((abs(k), x.shape[1]), fill, x.dtype)
+        if k > 0:
+            return jnp.concatenate([pad, x[: rows - k, :]], axis=0)
+        return jnp.concatenate([x[-k:, :], pad], axis=0)
+
+    def make_aux(shape, beta_ref, ctrl):
+        D_, tb = shape
+        dt_c = jnp.asarray(dt, beta_ref.dtype)
+        F_c = jnp.asarray(F, beta_ref.dtype)
+        th_c = jnp.asarray(th, beta_ref.dtype)
+        row = jax.lax.broadcasted_iota(jnp.int32, (D_, tb), 0)
+        edge = (row == 0) | (row >= n - 1)  # BC rows AND padding rows
+        interior = ~edge
+        # θ-scheme tridiagonal: a=c=−θF, b=1+θ(2F−dtβ) on interior rows;
+        # identity rows (0, 1, 0) elsewhere (pins + decoupled pads)
+        b = jnp.where(interior,
+                      1.0 + th_c * (2.0 * F_c - dt_c * beta_ref[:]),
+                      jnp.ones((D_, tb), beta_ref.dtype))
+        off = jnp.where(interior, -th_c * F_c, 0.0).astype(beta_ref.dtype)
+        a, c = off, off
+        alphas, betas = [], []
+        stride = 1
+        for _ in range(steps):
+            am = _shift_rows(a, stride)
+            bm = _shift_rows(b, stride, 1.0)
+            cm = _shift_rows(c, stride)
+            ap = _shift_rows(a, -stride)
+            bp = _shift_rows(b, -stride, 1.0)
+            cp_ = _shift_rows(c, -stride)
+            alpha = -a / bm
+            beta_k = -c / bp
+            b = b + alpha * cm + beta_k * ap
+            a = alpha * am
+            c = beta_k * cp_
+            alphas.append(alpha)
+            betas.append(beta_k)
+            stride *= 2
+        # masks folded to f32 so the per-sub-step rhs pinning is one
+        # multiply + one fused add instead of two selects
+        keep = interior.astype(beta_ref.dtype)
+        last = (row == n - 1).astype(beta_ref.dtype)
+        # explicit-part diagonal 1 + (1−θ)(dtβ − 2F), derived so θ=1
+        # (backward Euler) statically drops the whole rhs stencil
+        eb = (1.0 + (1.0 - th_c) * (dt_c * beta_ref[:] - 2.0 * F_c)
+              if th < 1.0 else None)
+        return tuple(alphas), tuple(betas), 1.0 / b, keep, last, eb
+
+    def update(us, beta_ref, ctrl, aux):
+        alphas, betas, inv_b, keep, last, eb = aux
+        u = us[0:dp, :]
+        if neumann:
+            boundary = ctrl * dx + u[n - 2:n - 1, :]  # previous state's [-2]
+        else:
+            boundary = ctrl
+        if th < 1.0:
+            up = us[1:dp + 1, :]
+            um = pltpu.roll(u, 1, 0)
+            rhs = u * eb + ((1.0 - th) * F) * (um + up)
+        else:
+            rhs = u
+        # pin: d=0 at row 0 and pads, d=boundary at row n−1
+        d = rhs * keep + last * boundary
+        stride = 1
+        for alpha, beta_k in zip(alphas, betas):
+            d = (d + alpha * _shift_rows(d, stride)
+                 + beta_k * _shift_rows(d, -stride))
+            stride *= 2
+        us[0:dp, :] = d * inv_b
+        return boundary
+
+    update.transposed = True
+    update.boundary_const = not neumann
+    update.make_aux = make_aux
+    return update
+
+
 def reaction_diffusion_update_t(dt: float, dx: float, state_dim: int,
                                 neumann: bool):
     """Transposed in-place FTCS sub-step (envs/reaction_diffusion.py

@@ -24,7 +24,7 @@ def _pair(env_cls, cfg, reward):
     return xla, pls
 
 
-def _compare(xla, pls, B=8, steps=4, action_fn=None):
+def _compare(xla, pls, B=8, steps=4, action_fn=None, obs_tol=1e-6):
     keys = jax.random.split(jax.random.key(0), B)
     state_x, obs_x = jax.vmap(xla.init)(keys)
     state_p, obs_p = jax.vmap(pls.init)(keys)
@@ -40,7 +40,8 @@ def _compare(xla, pls, B=8, steps=4, action_fn=None):
         state_x, out_x = step_x(state_x, a)
         state_p, out_p = step_p(state_p, a)
         np.testing.assert_allclose(
-            np.asarray(out_x.obs), np.asarray(out_p.obs), rtol=1e-6, atol=1e-6
+            np.asarray(out_x.obs), np.asarray(out_p.obs),
+            rtol=obs_tol, atol=obs_tol,
         )
         # rewards are differences of norms (cancellation-amplified); the norm
         # itself matches to float32 reassociation noise (~1e-6 relative)
@@ -76,6 +77,52 @@ def test_reaction_diffusion_pallas_matches_xla(control_type):
     )
     reward = TunedReward1D(int(round(cfg.T / cfg.dt)), -1e3, 3e2)
     _compare(*_pair(ReactionDiffusionEnv, cfg, reward), steps=4)
+
+
+@pytest.mark.parametrize("theta,control_type", [
+    (1.0, "Dirchilet"),   # backward Euler: rhs stencil statically dropped
+    (0.5, "Dirchilet"),   # Crank-Nicolson
+    (0.5, "Neumann"),     # state-dependent boundary read in-kernel
+])
+def test_reaction_diffusion_implicit_pcr_pallas_matches_xla(theta, control_type):
+    """The VMEM-resident PCR interval kernel (coefficient elimination hoisted
+    to once per interval, 9-step rhs-only reduction per sub-step) vs the XLA
+    pcr solver — same θ-scheme semantics, fp-association tolerance."""
+    cfg = ReactionDiffusionConfig(
+        T=0.02, dt=4e-4, X=1.0, dx=1.0 / 256, control_sample_rate=4e-3,
+        scheme="implicit", theta=theta, implicit_solver="pcr",
+        control_type=control_type,
+    )
+    reward = TunedReward1D(int(round(cfg.T / cfg.dt)), -1e3, 3e2)
+    xla, pls = _pair(ReactionDiffusionEnv, cfg, reward)
+    assert pls._pallas_spec() is not None
+    # the kernel's folded rhs diagonal + identity-row pads reassociate a few
+    # f32 ulps per solve vs the XLA pcr (where-guarded shifts, unfolded rhs)
+    _compare(xla, pls, steps=4, obs_tol=2e-5)
+
+
+def test_reaction_diffusion_implicit_terminal_interval():
+    # episode ends mid-interval: the implicit kernel's masked path must
+    # freeze finished envs identically to the XLA scan
+    cfg = ReactionDiffusionConfig(
+        T=0.01, dt=4e-4, X=1.0, dx=1.0 / 256, control_sample_rate=4e-3,
+        scheme="implicit", theta=0.5, implicit_solver="pcr",
+    )
+    reward = TunedReward1D(int(round(cfg.T / cfg.dt)), -1e3, 3e2)
+    _compare(*_pair(ReactionDiffusionEnv, cfg, reward), steps=4, obs_tol=2e-5)
+
+
+def test_implicit_thomas_dense_stay_xla():
+    # only the pcr solver has a fused kernel; thomas/dense must not build one
+    for solver in ("thomas", "dense"):
+        cfg = ReactionDiffusionConfig(
+            T=0.02, dt=4e-4, X=1.0, dx=1.0 / 256, control_sample_rate=4e-3,
+            scheme="implicit", theta=0.5, implicit_solver=solver,
+        )
+        env = ReactionDiffusionEnv(
+            cfg, TunedReward1D(int(round(cfg.T / cfg.dt)))
+        )
+        assert env._pallas_spec() is None
 
 
 def test_burgers_pallas_matches_xla():
