@@ -6,12 +6,20 @@ sharding the SPATIAL axis: each device owns a contiguous slab of the row and
 exchanges one-point halos with its neighbors via ``ppermute`` each sub-step —
 the collectives ride ICI inside ``shard_map``.
 
-This module implements that pattern for the transport upwind stencil:
-``make_spatial_transport_interval`` builds a jitted function running a full
-control interval with ``u`` sharded over a ``("x",)`` mesh axis. The upwind update needs each slab's RIGHT
-neighbor's first point; β·u(0,t) needs the global left boundary value, which
-is broadcast from shard 0 once per sub-step (also a ppermute-free
-``all_gather`` of one scalar would do; we use the gather of slab heads).
+Two tiers live here:
+
+- **The public path** — :func:`make_sharded_env` + :func:`env_spatial_mesh`:
+  wrap any env family's XLA batched path, pin ``NamedSharding`` constraints
+  on the state pytree over a 2D ``(env, x)`` mesh, and let XLA's SPMD
+  partitioner insert the halo collectives for the stencils. Two lines, runs
+  through the normal ``parallel.rollout`` API (docs/API.md).
+- **Explicit-collective references** — hand-wired ``shard_map`` kernels for
+  the transport upwind stencil (``make_spatial_transport_interval`` /
+  ``make_spatial_transport_episode``) and the 2D NS projection step
+  (``make_spatial_ns_step``), exact vs the single-device envs. These show
+  the collectives GSPMD inserts implicitly: the upwind update needs each
+  slab's RIGHT neighbor's first point; β·u(0,t) needs the global left
+  boundary value, broadcast from shard 0 once per sub-step.
 """
 
 from __future__ import annotations
@@ -23,6 +31,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 X_AXIS = "x"
+from pdecontrolgym_tpu.parallel.mesh import ENV_AXIS  # noqa: E402 ("env")
 
 
 def spatial_mesh(devices=None) -> Mesh:
@@ -30,6 +39,135 @@ def spatial_mesh(devices=None) -> Mesh:
 
     devices = list(devices) if devices is not None else jax.devices()
     return Mesh(np.array(devices), (X_AXIS,))
+
+
+def env_spatial_mesh(spatial_shards: int, devices=None) -> Mesh:
+    """2D ``(env, x)`` mesh: the env-batch axis times a spatial axis of
+    ``spatial_shards`` devices. The standard mesh for
+    :func:`make_sharded_env` — batch parallelism stays the primary axis and
+    the grid splits over ``x`` only as far as it must."""
+    import numpy as np
+
+    devices = list(devices) if devices is not None else jax.devices()
+    if len(devices) % spatial_shards:
+        raise ValueError(
+            f"{len(devices)} devices do not split into spatial_shards="
+            f"{spatial_shards}"
+        )
+    n_env = len(devices) // spatial_shards
+    return Mesh(
+        np.array(devices).reshape(n_env, spatial_shards), (ENV_AXIS, X_AXIS)
+    )
+
+
+class SpatialShardedEnv:
+    """Batched env wrapper whose state is sharded over a 2D ``(env, x)``
+    mesh: the env-batch dimension over ``env`` and the GRID dimension over
+    ``x`` — the public path for grids too large for one core's VMEM
+    (docs/API.md "Spatial sharding").
+
+    TPU-idiomatic by construction: rather than hand-writing halo exchanges
+    (the ``make_spatial_*`` demos below do that for two families), the
+    wrapper pins ``NamedSharding`` constraints on every state leaf and lets
+    XLA's SPMD partitioner insert the halo ``collective-permute``s for the
+    stencil slices/rolls — so it works for EVERY env family's XLA step path
+    unchanged. The per-leaf rule: a trailing ``state_dim`` axis (1D fields,
+    β) or a ``(ny, nx)`` trailing pair (NS fields, sharded over rows) maps
+    to ``x``; everything else is sharded over ``env`` only.
+
+    Use through the normal rollout API::
+
+        mesh = env_spatial_mesh(spatial_shards=2)
+        senv = make_sharded_env(env, mesh)
+        (state, obs), outs = rollout(senv, policy, num_envs, steps, key)
+
+    Constraints: the wrapped env must run its XLA batched path — Pallas
+    kernels are opaque to the SPMD partitioner — so build the env with
+    ``backend="xla"`` (1D families) / ``step_backend="xla"`` (NS); the
+    factory raises otherwise. ``num_envs`` must divide the ``env`` axis and
+    the grid the ``x`` axis.
+    """
+
+    def __init__(self, env, mesh: Mesh):
+        if ENV_AXIS not in mesh.axis_names or X_AXIS not in mesh.axis_names:
+            raise ValueError(
+                f"mesh must carry ({ENV_AXIS!r}, {X_AXIS!r}) axes, got "
+                f"{mesh.axis_names}"
+            )
+        if getattr(env, "_pack_r", 1) > 1:
+            raise ValueError(
+                "spatial sharding needs the XLA layout: build the NS env "
+                "with step_backend='xla' (the packed fused kernel is opaque "
+                "to the SPMD partitioner)"
+            )
+        backend = getattr(getattr(env, "config", None), "backend", "xla")
+        picks_pallas = backend == "pallas" or (
+            backend == "auto"
+            and getattr(env, "_pallas_auto", lambda: False)()
+        )
+        if picks_pallas:
+            raise ValueError(
+                "spatial sharding needs backend='xla': pallas_call is "
+                "opaque to the SPMD partitioner"
+            )
+        if getattr(env, "_fused_step", None) is not None:
+            raise ValueError(
+                "spatial sharding needs the XLA step: build the NS env with "
+                "step_backend='xla'"
+            )
+        self.env = env
+        self.mesh = mesh
+        self._sdim = getattr(env, "state_dim", None)
+        cfg = getattr(env, "config", None)
+        self._grid2d = (
+            (cfg.ny, cfg.nx)
+            if cfg is not None and hasattr(cfg, "ny") and hasattr(cfg, "nx")
+            else None
+        )
+
+    def __getattr__(self, name):
+        return getattr(self.env, name)
+
+    def _spec(self, leaf) -> P:
+        # batched leaf (B, ...): spatial trailing dims -> x, batch -> env
+        if (self._grid2d is not None and leaf.ndim >= 3
+                and tuple(leaf.shape[-2:]) == self._grid2d):
+            return P(ENV_AXIS, *([None] * (leaf.ndim - 3)), X_AXIS, None)
+        if (self._sdim is not None and leaf.ndim >= 2
+                and leaf.shape[-1] == self._sdim):
+            return P(ENV_AXIS, *([None] * (leaf.ndim - 2)), X_AXIS)
+        return P(ENV_AXIS, *([None] * (leaf.ndim - 1)))
+
+    def constrain(self, state):
+        """Pin the batched state pytree's shardings (used inside jit; on
+        concrete arrays it places them on the mesh)."""
+        return jax.tree_util.tree_map(
+            lambda l: jax.lax.with_sharding_constraint(
+                l, NamedSharding(self.mesh, self._spec(l))
+            ),
+            state,
+        )
+
+    # rollout/batch_step talk to init (per-env, vmapped) and step_batch
+    def init(self, key):
+        return self.env.init(key)
+
+    def step(self, state, action, key=None):
+        return self.env.step(state, action, key)
+
+    def step_batch(self, state, actions, keys=None):
+        state = self.constrain(state)
+        if keys is None:
+            new_state, out = self.env.step_batch(state, actions)
+        else:
+            new_state, out = self.env.step_batch(state, actions, keys)
+        return self.constrain(new_state), out
+
+
+def make_sharded_env(env, mesh: Mesh) -> SpatialShardedEnv:
+    """Two-line public path to spatially sharded rollouts — see
+    :class:`SpatialShardedEnv`."""
+    return SpatialShardedEnv(env, mesh)
 
 
 def make_spatial_transport_interval(mesh: Mesh, dt: float, dx: float,

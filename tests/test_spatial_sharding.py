@@ -152,3 +152,118 @@ def test_spatially_sharded_ns_step_matches_single_device():
     np.testing.assert_allclose(np.asarray(us), np.asarray(state.u), rtol=1e-12, atol=1e-12)
     np.testing.assert_allclose(np.asarray(vs), np.asarray(state.v), rtol=1e-12, atol=1e-12)
     np.testing.assert_allclose(np.asarray(ps), np.asarray(state.p), rtol=1e-12, atol=1e-12)
+
+
+# -- public make_sharded_env factory (GSPMD auto-partitioned) ----------------
+
+
+def test_make_sharded_env_transport_rollout_matches_unsharded():
+    """The PUBLIC spatial-sharding path: wrap a transport env with
+    make_sharded_env over an (env=4, x=2) mesh and run it through the normal
+    parallel.rollout API — results must match the unsharded rollout (XLA's
+    SPMD partitioner only reassociates reductions, so fp tolerance)."""
+    from pdecontrolgym_tpu.parallel.rollout import rollout
+    from pdecontrolgym_tpu.parallel.spatial import env_spatial_mesh, make_sharded_env
+
+    cfg = Boundary1DConfig(
+        T=0.05, dt=1e-4, X=1.0, dx=1.0 / 256, control_sample_rate=0.01,
+        backend="xla",
+    )
+    env = TransportEnv(cfg, TunedReward1D(int(round(cfg.T / cfg.dt))))
+    mesh = env_spatial_mesh(spatial_shards=2)
+    senv = make_sharded_env(env, mesh)
+    assert senv.state_dim == env.state_dim  # attribute delegation
+
+    policy = lambda obs, key: 0.1 * obs[:, :1] + 0.01 * jax.random.uniform(
+        key, (obs.shape[0], 1))
+    key = jax.random.key(3)
+    run_s = jax.jit(lambda k: rollout(senv, policy, 8, 4, k))
+    run_u = jax.jit(lambda k: rollout(env, policy, 8, 4, k))
+    (ss, os_), outs_s = run_s(key)
+    (su, ou), outs_u = run_u(key)
+    np.testing.assert_allclose(np.asarray(ss.u), np.asarray(su.u),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(outs_s.reward),
+                               np.asarray(outs_u.reward), rtol=1e-4, atol=1e-4)
+    # the state really is laid out over both mesh axes
+    sh = ss.u.sharding
+    assert sh.spec == jax.sharding.PartitionSpec("env", "x"), sh
+
+
+def test_make_sharded_env_ns_rollout_matches_unsharded():
+    from pdecontrolgym_tpu.envs.navier_stokes import (
+        NavierStokesConfig,
+        NavierStokesEnv,
+        freeze_boundary_condition,
+    )
+    from pdecontrolgym_tpu.parallel.rollout import rollout
+    from pdecontrolgym_tpu.parallel.spatial import env_spatial_mesh, make_sharded_env
+    from pdecontrolgym_tpu.rewards.ns import NSReward
+
+    bc = freeze_boundary_condition({
+        "upper": ["Controllable", "Dirchilet"],
+        "lower": ["Dirchilet", "Dirchilet"],
+        "left": ["Dirchilet", "Dirchilet"],
+        "right": ["Dirchilet", "Dirchilet"],
+    })
+    n = 8
+    cfg = NavierStokesConfig(
+        T=6e-3, dt=1e-3, X=1.0, dx=1.0 / (n - 1), Y=1.0, dy=1.0 / (n - 1),
+        viscosity=0.02, dtype=jnp.float32, pressure_solver="direct",
+        step_backend="xla", boundary_condition=bc,
+    )
+    env = NavierStokesEnv(
+        cfg, NSReward(0.1),
+        jnp.zeros((cfg.nt, cfg.ny, cfg.nx, 2), cfg.dtype),
+        jnp.zeros(cfg.nt, cfg.dtype),
+    )
+    mesh = env_spatial_mesh(spatial_shards=4)  # (env=2, x=4), rows split 2 each
+    senv = make_sharded_env(env, mesh)
+    policy = lambda obs, key: jnp.full(obs.shape[:1] + (1,), 1.5)
+    key = jax.random.key(5)
+    run_s = jax.jit(lambda k: rollout(senv, policy, 4, 3, k))
+    run_u = jax.jit(lambda k: rollout(env, policy, 4, 3, k))
+    (ss, _), outs_s = run_s(key)
+    (su, _), outs_u = run_u(key)
+    np.testing.assert_allclose(np.asarray(ss.u), np.asarray(su.u),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ss.p), np.asarray(su.p),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(outs_s.reward),
+                               np.asarray(outs_u.reward), rtol=1e-5, atol=1e-6)
+    # trailing Nones are normalized away by jax
+    assert tuple(ss.u.sharding.spec) [:2] == ("env", "x")
+
+
+def test_make_sharded_env_rejects_pallas_backends():
+    import pytest as _pytest
+
+    from pdecontrolgym_tpu.parallel.spatial import env_spatial_mesh, make_sharded_env
+
+    cfg = Boundary1DConfig(
+        T=0.05, dt=1e-4, X=1.0, dx=1.0 / 256, control_sample_rate=0.01,
+        backend="pallas",
+    )
+    env = TransportEnv(cfg, TunedReward1D(int(round(cfg.T / cfg.dt))))
+    with _pytest.raises(ValueError, match="xla"):
+        make_sharded_env(env, env_spatial_mesh(spatial_shards=2))
+
+
+def test_make_sharded_env_through_vector_adapter():
+    """The gymnasium VectorEnv adapter accepts a spatially sharded env."""
+    from pdecontrolgym_tpu.compat.vector import PDEVectorEnv
+    from pdecontrolgym_tpu.parallel.spatial import env_spatial_mesh, make_sharded_env
+
+    cfg = Boundary1DConfig(
+        T=0.05, dt=1e-4, X=1.0, dx=1.0 / 256, control_sample_rate=0.01,
+        backend="xla",
+    )
+    env = TransportEnv(cfg, TunedReward1D(int(round(cfg.T / cfg.dt))))
+    senv = make_sharded_env(env, env_spatial_mesh(spatial_shards=2))
+    venv = PDEVectorEnv(senv, num_envs=8, seed=0)
+    obs, _ = venv.reset()
+    assert obs.shape[0] == 8
+    for _ in range(2):
+        acts = np.zeros((8, 1), np.float32)
+        obs, rew, term, trunc, _ = venv.step(acts)
+    assert obs.shape[0] == 8 and rew.shape == (8,)
