@@ -46,6 +46,11 @@ def parse_args(argv=None):
     ap.add_argument("--envs-per-device", type=int, default=64)
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--nx", type=int, default=32)
+    ap.add_argument("--algo", default="ppo", choices=("ppo", "sac"),
+                    help="ppo: replicated params + pmean grads; sac: the "
+                         "same PLUS a per-process replay-buffer shard — the "
+                         "off-policy path's buffer writes/samples stay local "
+                         "to each process while gradients cross")
     return ap.parse_args(argv)
 
 
@@ -56,7 +61,8 @@ def spawn(args):
                 "--num-processes", str(args.spawn),
                 "--local-devices", str(args.local_devices),
                 "--envs-per-device", str(args.envs_per_device),
-                "--iters", str(args.iters), "--nx", str(args.nx)]
+                "--iters", str(args.iters), "--nx", str(args.nx),
+                "--algo", args.algo]
     workers = [
         subprocess.Popen(cmd_base + ["--process-id", str(i)],
                          stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
@@ -122,12 +128,27 @@ def run(args):
                            control_sample_rate=1e-2)
     env = TransportEnv(cfg, TunedReward1D(cfg.nt - 1))
     num_envs = args.envs_per_device * n_dev
-    trainer = PPOTrainer(
-        env,
-        PPOConfig(num_envs=num_envs, num_steps=8, num_epochs=2,
-                  num_minibatches=2, hidden=(32, 32)),
-        mesh=mesh,
-    )
+    if args.algo == "sac":
+        from pdecontrolgym_tpu.agents.sac import SACConfig, SACTrainer
+
+        trainer = SACTrainer(
+            env,
+            SACConfig(num_envs=num_envs, steps_per_iter=8,
+                      updates_per_iter=2, batch_size=64,
+                      buffer_size=256 * n_dev, hidden=(32, 32)),
+            mesh=mesh,
+        )
+        loss_key, steps_per_iter = "critic_loss", 8
+        params_of = lambda r: (r.actor_params, r.critic_params)
+    else:
+        trainer = PPOTrainer(
+            env,
+            PPOConfig(num_envs=num_envs, num_steps=8, num_epochs=2,
+                      num_minibatches=2, hidden=(32, 32)),
+            mesh=mesh,
+        )
+        loss_key, steps_per_iter = "loss", 8
+        params_of = lambda r: r.params
     runner = trainer.init(jax.random.key(0))
     train_step = trainer.make_train_step()
     runner, metrics = train_step(runner)  # compile + warm
@@ -136,16 +157,16 @@ def run(args):
     for _ in range(args.iters):
         runner, metrics = train_step(runner)
     # scalar readbacks double as the cross-process barrier
-    loss = float(np.asarray(metrics["loss"].addressable_data(0)))
+    loss = float(np.asarray(metrics[loss_key].addressable_data(0)))
     rew = float(np.asarray(metrics["mean_reward"].addressable_data(0)))
     dt_s = time.perf_counter() - t0
 
-    leaves = jax.tree_util.tree_leaves(runner.params)
+    leaves = jax.tree_util.tree_leaves(params_of(runner))
     checksum = float(sum(
         np.abs(np.asarray(l.addressable_data(0))).sum() for l in leaves
     ))
-    rate = args.iters * num_envs * 8 / dt_s  # agent env-steps/s in training
-    line = (f"RESULT proc={args.process_id} devices={n_dev} "
+    rate = args.iters * num_envs * steps_per_iter / dt_s  # agent env-steps/s
+    line = (f"RESULT algo={args.algo} proc={args.process_id} devices={n_dev} "
             f"envs={num_envs} agent_env_steps_per_s={rate:.0f} "
             f"loss={loss:.6f} mean_reward={rew:.6f} checksum={checksum:.6f}")
     print(line, flush=True)

@@ -192,33 +192,33 @@ class SACTrainer:
             key=key,
         )
         if self.mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
+            from jax.sharding import PartitionSpec as P
 
-            from pdecontrolgym_tpu.parallel.mesh import ENV_AXIS
+            # put_global handles multi-process meshes too (device_put rejects
+            # non-addressable shardings) — same placement as the PPO trainer,
+            # plus the per-process replay-buffer shard
+            from pdecontrolgym_tpu.parallel.mesh import ENV_AXIS, put_global
 
-            sh = NamedSharding(self.mesh, P(ENV_AXIS))
-            rp = NamedSharding(self.mesh, P())
-            put = lambda t, s_: jax.tree_util.tree_map(
-                lambda x: jax.device_put(x, s_), t
-            )
+            sh, rp = P(ENV_AXIS), P()
+            put = lambda t, s_: put_global(t, self.mesh, s_)
             runner = SACRunner(
                 actor_params=put(runner.actor_params, rp),
                 critic_params=put(runner.critic_params, rp),
                 target_params=put(runner.target_params, rp),
-                log_alpha=jax.device_put(runner.log_alpha, rp),
+                log_alpha=put(runner.log_alpha, rp),
                 opt_states=put(runner.opt_states, rp),
                 buffer=Buffer(
-                    obs=jax.device_put(buffer.obs, sh),
-                    action=jax.device_put(buffer.action, sh),
-                    reward=jax.device_put(buffer.reward, sh),
-                    next_obs=jax.device_put(buffer.next_obs, sh),
-                    done=jax.device_put(buffer.done, sh),
-                    ptr=jax.device_put(buffer.ptr, rp),
-                    size=jax.device_put(buffer.size, rp),
+                    obs=put(buffer.obs, sh),
+                    action=put(buffer.action, sh),
+                    reward=put(buffer.reward, sh),
+                    next_obs=put(buffer.next_obs, sh),
+                    done=put(buffer.done, sh),
+                    ptr=put(buffer.ptr, rp),
+                    size=put(buffer.size, rp),
                 ),
                 env_state=put(runner.env_state, sh),
-                obs=jax.device_put(runner.obs, sh),
-                key=jax.device_put(runner.key, rp),
+                obs=put(runner.obs, sh),
+                key=put(runner.key, rp),
             )
         return runner
 

@@ -18,10 +18,16 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def test_two_process_distributed_ppo():
+import pytest
+
+
+@pytest.mark.parametrize("algo", ["ppo", "sac"])
+def test_two_process_distributed_training(algo):
     # subprocess.run's own timeout=540 bounds the test; pytest-timeout is
-    # not installed in this image
-    port = 29600 + os.getpid() % 200  # avoid collisions across test runs
+    # not installed in this image. SAC additionally crosses the process
+    # boundary with a PER-PROCESS replay-buffer shard (writes/samples stay
+    # local, only gradients pmean across).
+    port = 29600 + (os.getpid() + (0 if algo == "ppo" else 7)) % 200
     env = dict(os.environ)
     # the demo pins its own platform/device-count env; drop the suite's
     # 8-virtual-device XLA_FLAGS so each process gets its own 2
@@ -29,7 +35,7 @@ def test_two_process_distributed_ppo():
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "examples", "multihost_demo.py"),
          "--spawn", "2", "--local-devices", "2", "--iters", "2",
-         "--coordinator", f"localhost:{port}"],
+         "--algo", algo, "--coordinator", f"localhost:{port}"],
         capture_output=True, text=True, timeout=540, env=env, cwd=REPO,
     )
     assert proc.returncode == 0, proc.stdout + proc.stderr
@@ -39,3 +45,4 @@ def test_two_process_distributed_ppo():
     assert any(l.startswith("OK: 2 processes agree") for l in out.splitlines()), out
     # both processes saw the full 4-device global mesh
     assert all("devices=4" in l for l in results), out
+    assert all(f"algo={algo}" in l for l in results), out

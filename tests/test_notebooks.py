@@ -137,3 +137,43 @@ def test_traffic_golden_values():
     ppo = _table_value(text, "ppo |")
     assert bcks < 0.0 and ppo < 0.0  # tracking penalties
     assert ppo > bcks  # learned policy beats the analytic outlet law
+
+
+def test_transport_notebook_reexecutes_at_head():
+    """Anti-drift: the transport notebook is RE-EXECUTED against current
+    code (not just its committed outputs re-read) and must reproduce the
+    same headline numbers. This makes silent divergence between committed
+    goldens and HEAD mechanically impossible to miss; the other three
+    notebooks' goldens are covered transitively (same envs/checkpoints,
+    pinned by the committed-output tests above + examples smoke tests)."""
+    import sys
+
+    import nbformat
+    from nbclient import NotebookClient
+
+    sys.path.insert(0, EXAMPLES)
+    try:
+        import make_notebooks as mn
+    finally:
+        sys.path.remove(EXAMPLES)
+
+    nb = mn.build(mn.TRANSPORT)
+    # the ambient sitecustomize routes the spawned kernel to the axon TPU
+    # tunnel (jax.config.update beats inherited env vars); pin CPU before
+    # any jax use so the suite never contends for the single TPU grant
+    nb.cells.insert(0, nbformat.v4.new_code_cell(
+        "import jax\njax.config.update('jax_platforms', 'cpu')"
+    ))
+    NotebookClient(nb, timeout=900, kernel_name="python3",
+                   resources={"metadata": {"path": EXAMPLES}}).execute()
+
+    text = "\n".join(
+        "".join(o.get("text", []))
+        for c in nb.cells for o in c.get("outputs", [])
+        if o.get("output_type") == "stream"
+    )
+    m = re.search(r"mean return over 256 episodes: ([-+]?\d+\.\d+)", text)
+    assert m, "batched mean-return line missing from fresh execution"
+    assert abs(float(m.group(1)) - 243.06) < 5.0  # published reference band
+    assert _table_value(text, "ppo |") > _table_value(text, "backstepping |")
+    assert _table_value(text, "sac |") > 179.90
