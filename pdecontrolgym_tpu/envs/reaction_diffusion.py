@@ -45,10 +45,11 @@ class ReactionDiffusionConfig(Boundary1DConfig):
     # - "pcr": parallel cyclic reduction, O(log n) fully-vectorized steps
     #   (works with any per-env β). With backend "auto"/"pallas" on TPU the
     #   whole control interval runs as ONE VMEM-resident kernel: the
-    #   coefficient elimination happens once per interval and each sub-step
-    #   only reduces the rhs — 205M sub-steps/s at 4096×257 vs 53M for the
-    #   XLA pcr scan and 135M for dense (PERFORMANCE.md), while staying
-    #   correct for ANY β
+    #   coefficient elimination happens once per interval (in XLA, shipped
+    #   in as stacked factor blocks) and each sub-step only reduces the rhs
+    #   — 152M sub-steps/s at 4096×257 vs 53M for the XLA pcr scan and 135M
+    #   for dense (PERFORMANCE.md; an in-kernel-elimination variant measured
+    #   205M but cost ~7 min of Mosaic compile), correct for ANY β
     # - "dense": precompute the affine propagator u⁺ = P·u + q·b once on the
     #   host and apply it as ONE batched matmul per sub-step — the θ-scheme
     #   operators are constant, so the whole solve rides the MXU; requires an

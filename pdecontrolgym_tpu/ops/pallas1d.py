@@ -89,6 +89,13 @@ def make_interval_fn_t(
     # motion, but VMEM-resident)
     make_aux = getattr(update_fn, "make_aux", lambda shape, beta_ref, ctrl: None)
     boundary_const = bool(getattr(update_fn, "boundary_const", False))
+    # update_fn.beta_rows = K > 1: the "beta" operand carries K stacked
+    # (state_dim-padded) per-row blocks instead of one — e.g. the implicit
+    # body's PCR elimination factors, precomputed per interval in XLA by
+    # beta_transform. Keeping that phase OUT of the kernel collapsed Mosaic
+    # compile time (the 20 arrays' in-kernel live ranges were the killer)
+    # at an amortized-DMA cost of K blocks per interval.
+    beta_rows = int(getattr(update_fn, "beta_rows", 1))
 
     def kernel(u_ref, beta_ref, ctrl_ref, t0_ref, uo_ref, norms_ref, bsum_ref,
                to_ref, us):
@@ -177,7 +184,8 @@ def make_interval_fn_t(
             # hoist loop-invariant scaling (e.g. dt·beta) out of the kernel
             beta = beta_transform(beta)
         ut = jnp.zeros((D, Bp), u.dtype).at[:Ds, :B].set(u.T)
-        betat = jnp.zeros((D, Bp), u.dtype).at[:Ds, :B].set(beta.T)
+        BD = beta_rows * D
+        betat = jnp.zeros((BD, Bp), u.dtype).at[: beta.shape[-1], :B].set(beta.T)
         ctrlt = jnp.zeros((1, Bp), u.dtype).at[:, :B].set(ctrl.T)
         t0t = jnp.zeros((1, Bp), jnp.int32).at[:, :B].set(t0.T)
         # Large states: single-buffer the (D, tb) column blocks. The default
@@ -192,6 +200,10 @@ def make_interval_fn_t(
         big = pl.Buffered(buffer_count=1) if D >= 3072 else None
         col_spec = pl.BlockSpec((D, tb), lambda i: (0, i),
                                 memory_space=pltpu.VMEM, pipeline_mode=big)
+        beta_spec = col_spec if beta_rows == 1 else pl.BlockSpec(
+            (BD, tb), lambda i: (0, i), memory_space=pltpu.VMEM,
+            pipeline_mode=big,
+        )
         row_spec = pl.BlockSpec((1, tb), lambda i: (0, i),
                                 memory_space=pltpu.VMEM)
         norm_spec = pl.BlockSpec((Wp, tb), lambda i: (0, i),
@@ -199,7 +211,7 @@ def make_interval_fn_t(
         u_out, norms, bsum, t_out = pl.pallas_call(
             kernel,
             grid=(Bp // tb,),
-            in_specs=[col_spec, col_spec, row_spec, row_spec],
+            in_specs=[col_spec, beta_spec, row_spec, row_spec],
             out_specs=[col_spec, norm_spec, row_spec, row_spec],
             out_shape=[
                 jax.ShapeDtypeStruct((D, Bp), u.dtype),
@@ -309,21 +321,87 @@ def reaction_diffusion_implicit_update_t(dt: float, dx: float,
 
     The tridiagonal coefficients are CONSTANT across sub-steps (β and dt are
     fixed), so the whole PCR elimination of (a, b, c) runs ONCE per interval
-    in ``make_aux`` — storing the per-step (α, β) factors and 1/b — and each
-    sub-step only reduces the rhs: ceil(log2 n) steps of
+    — in XLA, via ``beta_transform``, which ships the per-step (α, β)
+    factors, 1/b and the explicit-part diagonal into the kernel as stacked
+    blocks of the beta operand (``beta_rows``) — and each sub-step only
+    reduces the rhs: ceil(log2 n) steps of
     ``d += α_k·shift(d, s) + β_k·shift(d, −s)`` plus one multiply, all on
     the VMEM tile. XLA performs the same hoisting (LICM over the scan) but
     pays HBM for every d round trip — the measured gap at 4096×257
-    (docs/PERFORMANCE.md). Zero-shift semantics at the array edges are
-    reproduced by giving the padded rows identity-row coefficients
-    (a=c=0, b=1, d=0) and one-filling b shifts, which also removes the XLA
-    path's division guard.
+    (docs/PERFORMANCE.md). The elimination originally ran in-kernel; its ~20
+    tile-sized arrays' live ranges blew Mosaic compile time to ~8 min, and
+    as loop-invariant per-interval work it costs the same computed in XLA
+    (identical elementwise ops → identical f32 values), amortized-DMA'd in.
+    Zero-shift semantics at the array edges are reproduced by giving the
+    padded rows identity-row coefficients (a=c=0, b=1, d=0) and one-filling
+    b shifts, which also removes the XLA path's division guard.
     """
     F = dt / dx**2
     th = float(theta)
     n = state_dim
     dp = _pad8(n)
     steps = max((max(n, 2) - 1).bit_length(), 1)
+    has_eb = th < 1.0
+    K = 2 * steps + 1 + (1 if has_eb else 0)  # alphas, betas, inv_b[, eb]
+
+    def beta_transform(beta):
+        """(β…, n) → (…, K·dp): the PCR elimination factors, per env, padded
+        to the kernel's row count per block (pads = decoupled identity rows)."""
+        dt_c = jnp.asarray(dt, beta.dtype)
+        F_c = jnp.asarray(F, beta.dtype)
+        th_c = jnp.asarray(th, beta.dtype)
+        lead = beta.shape[:-1]
+        row = jnp.arange(dp)
+        interior = (row >= 1) & (row < n - 1)
+        bpad = jnp.zeros(lead + (dp,), beta.dtype).at[..., :n].set(beta)
+        b = jnp.where(interior,
+                      1.0 + th_c * (2.0 * F_c - dt_c * bpad),
+                      jnp.ones(lead + (dp,), beta.dtype))
+        off = jnp.where(interior, -th_c * F_c, 0.0).astype(beta.dtype)
+        a, c = off, off
+
+        def shift(x, k, fill=0.0):
+            pad = [(0, 0)] * (x.ndim - 1)
+            if k > 0:
+                return jnp.pad(x, pad + [(k, 0)],
+                               constant_values=fill)[..., :dp]
+            return jnp.pad(x, pad + [(0, -k)],
+                           constant_values=fill)[..., -dp:]
+
+        blocks = []
+        stride = 1
+        for _ in range(steps):
+            am, cm = shift(a, stride), shift(c, stride)
+            bm = shift(b, stride, 1.0)
+            ap, cp_ = shift(a, -stride), shift(c, -stride)
+            bp = shift(b, -stride, 1.0)
+            alpha = -a / bm
+            beta_k = -c / bp
+            b = b + alpha * cm + beta_k * ap
+            a = alpha * am
+            c = beta_k * cp_
+            blocks.extend([alpha, beta_k])
+            stride *= 2
+        blocks.append(1.0 / b)
+        if has_eb:
+            # explicit-part diagonal 1 + (1−θ)(dtβ − 2F); θ=1 (backward
+            # Euler) statically drops the whole rhs stencil instead
+            blocks.append(1.0 + (1.0 - th_c) * (dt_c * bpad - 2.0 * F_c))
+        return jnp.concatenate(blocks, axis=-1)
+
+    def make_aux(shape, beta_ref, ctrl):
+        D_, tb = shape
+        blk = lambda k: beta_ref[k * dp : (k + 1) * dp, :]
+        alphas = tuple(blk(2 * s) for s in range(steps))
+        betas = tuple(blk(2 * s + 1) for s in range(steps))
+        inv_b = blk(2 * steps)
+        eb = blk(2 * steps + 1) if has_eb else None
+        # masks folded to f32 so the per-sub-step rhs pinning is one
+        # multiply + one fused add instead of two selects
+        row = jax.lax.broadcasted_iota(jnp.int32, (D_, tb), 0)
+        keep = ((row >= 1) & (row < n - 1)).astype(inv_b.dtype)
+        last = (row == n - 1).astype(inv_b.dtype)
+        return alphas, betas, inv_b, keep, last, eb
 
     def _shift_rows(x, k, fill=0.0):
         # out[i] = x[i-k] along the sublane (row) axis, fill at the vacated
@@ -333,48 +411,6 @@ def reaction_diffusion_implicit_update_t(dt: float, dx: float,
         if k > 0:
             return jnp.concatenate([pad, x[: rows - k, :]], axis=0)
         return jnp.concatenate([x[-k:, :], pad], axis=0)
-
-    def make_aux(shape, beta_ref, ctrl):
-        D_, tb = shape
-        dt_c = jnp.asarray(dt, beta_ref.dtype)
-        F_c = jnp.asarray(F, beta_ref.dtype)
-        th_c = jnp.asarray(th, beta_ref.dtype)
-        row = jax.lax.broadcasted_iota(jnp.int32, (D_, tb), 0)
-        edge = (row == 0) | (row >= n - 1)  # BC rows AND padding rows
-        interior = ~edge
-        # θ-scheme tridiagonal: a=c=−θF, b=1+θ(2F−dtβ) on interior rows;
-        # identity rows (0, 1, 0) elsewhere (pins + decoupled pads)
-        b = jnp.where(interior,
-                      1.0 + th_c * (2.0 * F_c - dt_c * beta_ref[:]),
-                      jnp.ones((D_, tb), beta_ref.dtype))
-        off = jnp.where(interior, -th_c * F_c, 0.0).astype(beta_ref.dtype)
-        a, c = off, off
-        alphas, betas = [], []
-        stride = 1
-        for _ in range(steps):
-            am = _shift_rows(a, stride)
-            bm = _shift_rows(b, stride, 1.0)
-            cm = _shift_rows(c, stride)
-            ap = _shift_rows(a, -stride)
-            bp = _shift_rows(b, -stride, 1.0)
-            cp_ = _shift_rows(c, -stride)
-            alpha = -a / bm
-            beta_k = -c / bp
-            b = b + alpha * cm + beta_k * ap
-            a = alpha * am
-            c = beta_k * cp_
-            alphas.append(alpha)
-            betas.append(beta_k)
-            stride *= 2
-        # masks folded to f32 so the per-sub-step rhs pinning is one
-        # multiply + one fused add instead of two selects
-        keep = interior.astype(beta_ref.dtype)
-        last = (row == n - 1).astype(beta_ref.dtype)
-        # explicit-part diagonal 1 + (1−θ)(dtβ − 2F), derived so θ=1
-        # (backward Euler) statically drops the whole rhs stencil
-        eb = (1.0 + (1.0 - th_c) * (dt_c * beta_ref[:] - 2.0 * F_c)
-              if th < 1.0 else None)
-        return tuple(alphas), tuple(betas), 1.0 / b, keep, last, eb
 
     def update(us, beta_ref, ctrl, aux):
         alphas, betas, inv_b, keep, last, eb = aux
@@ -402,6 +438,8 @@ def reaction_diffusion_implicit_update_t(dt: float, dx: float,
     update.transposed = True
     update.boundary_const = not neumann
     update.make_aux = make_aux
+    update.beta_transform = beta_transform
+    update.beta_rows = K
     return update
 
 
