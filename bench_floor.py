@@ -25,18 +25,18 @@ A ratio near 1 means the family is machinery-bound (the PDE body is ~free —
 optimizing it further is pointless); a low ratio means the body dominates
 and a fused kernel could pay.
 
-Measured (one v5e chip, 4096 envs — docs/PERFORMANCE.md):
-- traffic  real 271M / floor 131M (ratio 2.08!): the trivial-body program is
+Measured (one v5e chip, 4096 envs — BENCH_SNAPSHOT_r04.md / PERFORMANCE.md):
+- traffic  real 263M / floor 129M (ratio 2.04!): the trivial-body program is
   SLOWER than the real one. At a 51-point grid the per-step cost is XLA
   kernel scheduling + machinery (reward norms, velocity recon, obs concat,
   autoreset selects); the Richtmyer body fuses into kernels the machinery
   launches anyway, so its marginal cost is ~zero — and removing it reshapes
   fusion for the worse. Conclusion: machinery/launch-bound; only a fused
   multi-step episode kernel (everything in VMEM) moves this family.
-- neuron   real 164M / floor 408M (ratio 0.40): the moving-boundary DPR body
+- neuron   real 165M / floor 420M (ratio 0.39): the moving-boundary DPR body
   + embedded control law is ~60% of step cost — compute-bound; a fused body
   could buy up to 2.5x.
-- brain_tumor real 97M / floor 164M (ratio 0.59): PDE+BED ~40%; the MRI
+- brain_tumor real 98M / floor 168M (ratio 0.58): PDE+BED ~40%; the MRI
   radius reductions + stage machine + reward are the rest. A fused PDE body
   alone caps out at ~1.7x.
 """

@@ -47,7 +47,7 @@ class ReactionDiffusionConfig(Boundary1DConfig):
     #   whole control interval runs as ONE VMEM-resident kernel: the
     #   coefficient elimination happens once per interval (in XLA, shipped
     #   in as stacked factor blocks) and each sub-step only reduces the rhs
-    #   — 152M sub-steps/s at 4096×257 vs 53M for the XLA pcr scan and 135M
+    #   — 153M sub-steps/s at 4096×257 vs 53M for the XLA pcr scan and 133M
     #   for dense (PERFORMANCE.md; an in-kernel-elimination variant measured
     #   205M but cost ~7 min of Mosaic compile), correct for ANY β
     # - "dense": precompute the affine propagator u⁺ = P·u + q·b once on the

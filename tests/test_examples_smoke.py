@@ -129,3 +129,13 @@ def test_plot_training_curves_smoke(tmp_path, capsys):
     import os
 
     assert os.path.getsize(out) > 1000
+
+
+def test_spatial_sharding_demo_smoke(capsys, monkeypatch):
+    # the demo sizes nx=4096 for realism; shrink via its module constants?
+    # it reads no argv — just run it (conftest already provides the
+    # 8-device CPU mesh, and the demo's env pinning is a no-op then)
+    _run("examples/spatial_sharding_demo.py", [])
+    out = capsys.readouterr().out
+    assert "PartitionSpec('env', 'x')" in out
+    assert "mean return" in out
