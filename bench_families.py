@@ -80,10 +80,25 @@ def bench_traffic(num_envs, repeats, steps=None):
 def bench_neuron(num_envs, repeats, steps=None):
     from pdecontrolgym_tpu.envs.neuron import NeuronConfig, NeuronEnv
 
-    cfg = NeuronConfig(dtype=jnp.float32)  # f64 unavailable on TPU
+    cfg = NeuronConfig(dtype=jnp.float32, backend="xla")  # f64 unavailable on TPU
     env = NeuronEnv(cfg)
     policy = lambda obs, _key: jnp.zeros(obs.shape[:-1])  # action ignored
     return _measure(env, policy, num_envs, steps or 1000, repeats)
+
+
+def bench_neuron_fused(num_envs, repeats, steps=None):
+    """The fused K-step kernel path (steps_per_call=100): same 1000 dt-steps
+    per episode as the `neuron` row, counted in dt-steps/s — the controller
+    is embedded, so K>1 breaks no policy contract (ops/neuron_interval)."""
+    from pdecontrolgym_tpu.envs.neuron import NeuronConfig, NeuronEnv
+
+    K = 100
+    cfg = NeuronConfig(dtype=jnp.float32, steps_per_call=K)
+    env = NeuronEnv(cfg)
+    policy = lambda obs, _key: jnp.zeros(obs.shape[:-1])
+    rate, compile_s = _measure(env, policy, num_envs, (steps or 1000) // K,
+                               repeats)
+    return rate * K, compile_s
 
 
 def bench_brain_tumor(num_envs, repeats, steps=None):
@@ -146,6 +161,7 @@ def main():
     args = ap.parse_args()
 
     fns = {"traffic": bench_traffic, "neuron": bench_neuron,
+           "neuron_fused": bench_neuron_fused,
            "brain_tumor": bench_brain_tumor,
            "ns_matpow": _bench_ns("matpow"), "ns_jacobi": _bench_ns("jacobi"),
            "ns_fast": _bench_ns("direct", n=64),

@@ -74,6 +74,17 @@ class NeuronConfig:
     sensing_loc: str = "full"  # reference default "Full" is unreachable; fixed
     normalize: bool = False
     dtype: Any = jnp.float64
+    # TPU-native extension: dt-steps advanced per step() call. The controller
+    # is EMBEDDED (step takes no action), so K>1 is the neuron analog of the
+    # 1D families' control interval — and with backend="auto" on TPU the
+    # whole K-step block runs as ONE VMEM-resident Pallas kernel
+    # (ops/neuron_interval). K>1 requires reward=None and
+    # limit_pde_state_size=False (both defaults): those are per-dt-step
+    # semantics that a fused block would silently coarsen.
+    steps_per_call: int = 1
+    # "auto": the fused kernel when eligible (TPU, f32, no reward/noise/
+    # truncation); "xla": always the scan; "pallas": force (interpret on CPU)
+    backend: str = "auto"
 
     @property
     def nt(self) -> int:
@@ -109,6 +120,15 @@ class NeuronEnv(FunctionalEnv):
         self.config = c
         self.reward = reward
         self.noise_fn = noise_fn
+        if int(getattr(c, "steps_per_call", 1)) > 1 and (
+            reward is not None or c.limit_pde_state_size
+        ):
+            raise ValueError(
+                "steps_per_call > 1 requires reward=None and "
+                "limit_pde_state_size=False: rewards and blow-up truncation "
+                "are per-dt-step semantics that a fused K-step block would "
+                "silently coarsen"
+            )
 
         scale, length = c.scale_and_length
         self.scale = scale
@@ -246,13 +266,15 @@ class NeuronEnv(FunctionalEnv):
             obs = self.noise_fn(obs, key)
         return obs
 
-    def step(self, state: NeuronState, action=None, key=None):
-        """Advance one dt. ``action`` is ignored — the backstepping control is
-        embedded (reference ``step()`` takes no argument, neuron_env.py:261)."""
+    def _advance_once(self, u, Z, L, t_prev):
+        """One dt of the moving-boundary physics (the former step body);
+        returns ``(u', Z', L', t_stored, t_raw, control, tip_val,
+        terminated, truncated)`` so ``step`` can loop it ``steps_per_call``
+        times and the fused kernel (ops/neuron_interval) has an op-for-op
+        XLA twin to be tested against."""
         c = self.config
         dt, dx = c.dtype(c.dt), c.dtype(c.dx)
-        u, Z, L = state.u, state.Z, state.L
-        t = state.time_index + dt
+        t = t_prev + dt
 
         lt = Z[1] + c.LSubS
         dxreal = dx * lt
@@ -310,18 +332,36 @@ class NeuronEnv(FunctionalEnv):
             bool(c.limit_pde_state_size),
             jnp.linalg.norm(u_new) >= c.max_state_value,
         )
-        new_state = NeuronState(
-            u=u_new,
-            Z=Z_new,
-            L=L_new,
-            time_index=jnp.where(terminated, 0.0, t).astype(c.dtype),
-        )
+        t_stored = jnp.where(terminated, 0.0, t).astype(c.dtype)
+        return (u_new, Z_new, L_new, t_stored, t, control, tip_val,
+                terminated, truncated)
+
+    def step(self, state: NeuronState, action=None, key=None):
+        """Advance ``steps_per_call`` dt-steps (default 1 = reference
+        parity). ``action`` is ignored — the backstepping control is
+        embedded (reference ``step()`` takes no argument, neuron_env.py:261).
+        With K>1 the observation/flags describe the state AFTER the K-step
+        block (reward and per-dt truncation are rejected at construction)."""
+        c = self.config
+        K = int(getattr(c, "steps_per_call", 1))
+        u, Z, L, t = state.u, state.Z, state.L, state.time_index
+        if K > 1:
+            def body(_, carry):
+                uu, zz, ll, tt = carry
+                uu, zz, ll, tt = self._advance_once(uu, zz, ll, tt)[:4]
+                return uu, zz, ll, tt
+
+            u, Z, L, t = jax.lax.fori_loop(0, K - 1, body, (u, Z, L, t))
+        (u_new, Z_new, L_new, t_stored, t_raw, control, tip_val,
+         terminated, truncated) = self._advance_once(u, Z, L, t)
+        new_state = NeuronState(u=u_new, Z=Z_new, L=L_new,
+                                time_index=t_stored)
 
         reward = jnp.zeros((), c.dtype)
         if self.reward is not None:
             ctx = RewardCtx(
                 u=u_new,
-                time_index=t,
+                time_index=t_raw,
                 executed=jnp.asarray(1, jnp.int32),
                 terminated=terminated,
                 truncated=truncated,
@@ -339,4 +379,72 @@ class NeuronEnv(FunctionalEnv):
             terminated=terminated,
             truncated=truncated,
             info={"L": L_new, "Z": Z_new, "control": control},
+        )
+
+    # -- fused K-step Pallas path ---------------------------------------------
+
+    def _kernel_eligible(self) -> bool:
+        """The fused K-step kernel (ops/neuron_interval) covers exactly the
+        default contract: float32 (Mosaic has no f64), no reward / sensing
+        noise (per-dt-step quantities), no per-dt truncation, and a
+        TPU-family backend (interpret-mode CPU when forced)."""
+        import jax as _jax
+
+        c = self.config
+        backend = getattr(c, "backend", "auto")
+        if backend == "xla":
+            return False
+        eligible = (
+            jnp.dtype(c.dtype) == jnp.float32
+            and self.reward is None
+            and self.noise_fn is None
+            and not c.limit_pde_state_size
+        )
+        if backend == "pallas":
+            if not eligible:
+                raise ValueError(
+                    "backend='pallas' needs float32, reward=None, "
+                    "noise_fn=None and limit_pde_state_size=False"
+                )
+            return True
+        return eligible and _jax.default_backend() in ("tpu", "axon")
+
+    def _get_interval_fn(self):
+        fn = getattr(self, "_interval_fn", None)
+        if fn is None:
+            import jax as _jax
+
+            if not self._kernel_eligible():
+                self._interval_fn = False
+                return False
+            from pdecontrolgym_tpu.ops.neuron_interval import (
+                make_neuron_interval_fn,
+            )
+
+            fn = make_neuron_interval_fn(
+                self,
+                steps=int(getattr(self.config, "steps_per_call", 1)),
+                interpret=_jax.default_backend() == "cpu",
+            )
+            self._interval_fn = fn
+        return fn
+
+    def step_batch(self, state: NeuronState, actions=None):
+        """Batched step: the fused VMEM K-step kernel when eligible
+        (``_kernel_eligible``), else ``vmap(step)``. The kernel path returns
+        ``info={}`` (the vmap path's per-step control/Z/L diagnostics are
+        per-dt quantities)."""
+        fn = self._get_interval_fn()
+        if fn is False:
+            return jax.vmap(lambda s, a: self.step(s, a))(state, actions)
+        u, Z, L, t, done = fn(state.u, state.Z, state.L, state.time_index)
+        new_state = NeuronState(u=u, Z=Z, L=L, time_index=t)
+        obs = jax.vmap(lambda uu, ll: self._observe(uu, ll, None))(u, L)
+        zero = jnp.zeros((u.shape[0],), self.config.dtype)
+        return new_state, StepOut(
+            obs=obs,
+            reward=zero,
+            terminated=done,
+            truncated=jnp.zeros_like(done),
+            info={},
         )

@@ -146,3 +146,61 @@ def test_growth_progresses_toward_target_length():
     state, Ls = run(state, 20000)
     assert int(Ls[-1]) >= int(Ls[0])  # domain does not collapse
     assert np.isfinite(np.asarray(state.u)).all()
+
+
+def test_fused_kstep_kernel_matches_xla():
+    """The fused K-step Pallas kernel (ops/neuron_interval, interpret mode
+    on CPU) matches the XLA step loop: same masked tip reads, trapezoid
+    control, interior stencil, and the terminate-resets-time quirk."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pdecontrolgym_tpu.envs.neuron import NeuronConfig, NeuronEnv
+
+    for K in (1, 7):
+        ep = NeuronEnv(NeuronConfig(dtype=jnp.float32, steps_per_call=K,
+                                    backend="pallas"))
+        ex = NeuronEnv(NeuronConfig(dtype=jnp.float32, steps_per_call=K,
+                                    backend="xla"))
+        assert ep._get_interval_fn() is not False
+        assert ex._get_interval_fn() is False
+        B = 5
+        s0, _ = ep.init()
+        tile = lambda x: jnp.broadcast_to(x, (B,) + x.shape)
+        state = jax.tree_util.tree_map(tile, s0)
+        state = state.replace(u=state.u + 0.001 * jax.random.normal(
+            jax.random.PRNGKey(0), state.u.shape, jnp.float32))
+        sp = sx = state
+        for _ in range(3):
+            sp, op = ep.step_batch(sp, None)
+            sx, ox = ex.step_batch(sx, None)
+        np.testing.assert_allclose(np.asarray(sp.u), np.asarray(sx.u),
+                                   rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(sp.Z), np.asarray(sx.Z),
+                                   rtol=1e-6, atol=1e-9)
+        np.testing.assert_array_equal(np.asarray(sp.L), np.asarray(sx.L))
+        np.testing.assert_allclose(np.asarray(sp.time_index),
+                                   np.asarray(sx.time_index), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(op.obs), np.asarray(ox.obs),
+                                   rtol=1e-5, atol=1e-7)
+        np.testing.assert_array_equal(np.asarray(op.terminated),
+                                      np.asarray(ox.terminated))
+
+
+def test_steps_per_call_gates_reward_and_truncation():
+    import jax.numpy as jnp
+    import pytest
+
+    from pdecontrolgym_tpu.envs.neuron import NeuronConfig, NeuronEnv
+    from pdecontrolgym_tpu.rewards.base import BaseReward
+
+    class R(BaseReward):
+        def __call__(self, ctx):
+            return ctx.u.sum()
+
+    with pytest.raises(ValueError, match="steps_per_call"):
+        NeuronEnv(NeuronConfig(dtype=jnp.float32, steps_per_call=4), reward=R())
+    with pytest.raises(ValueError, match="steps_per_call"):
+        NeuronEnv(NeuronConfig(dtype=jnp.float32, steps_per_call=4,
+                               limit_pde_state_size=True))
