@@ -96,8 +96,8 @@ def bench_neuron_fused(num_envs, repeats, steps=None):
     cfg = NeuronConfig(dtype=jnp.float32, steps_per_call=K)
     env = NeuronEnv(cfg)
     policy = lambda obs, _key: jnp.zeros(obs.shape[:-1])
-    rate, compile_s = _measure(env, policy, num_envs, (steps or 1000) // K,
-                               repeats)
+    calls = max((steps or 1000) // K, 1)  # smoke --steps < K still measures
+    rate, compile_s = _measure(env, policy, num_envs, calls, repeats)
     return rate * K, compile_s
 
 

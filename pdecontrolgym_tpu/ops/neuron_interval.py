@@ -26,7 +26,6 @@ Eligibility is gated by the env (float32, no reward/noise/truncation —
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -168,7 +167,7 @@ def make_neuron_interval_fn(
         # the final sub-step's terminated flag (t was zeroed iff it fired)
         done_ref[:] = (t == 0.0).astype(jnp.int32)
 
-    @functools.partial(jax.jit)
+    @jax.jit
     def fn(u, Z, L, t):
         B = u.shape[0]
         tb = min(tile_b, B) if interpret else tile_b
@@ -181,17 +180,16 @@ def make_neuron_interval_fn(
                                memory_space=pltpu.VMEM)
         zspec = pl.BlockSpec((8, tb), lambda i: (0, i),
                              memory_space=pltpu.VMEM)
-        rowspec = lambda dt_: pl.BlockSpec((1, tb), lambda i: (0, i),
-                                           memory_space=pltpu.VMEM)
+        rowspec = lambda: pl.BlockSpec((1, tb), lambda i: (0, i),
+                                       memory_space=pltpu.VMEM)
         cspec = pl.BlockSpec((Mp, 1), lambda i: (0, 0),
                              memory_space=pltpu.VMEM)
         u2, z2, l2, t2, done = pl.pallas_call(
             kernel,
             grid=(Bp // tb,),
-            in_specs=[colspec, zspec, rowspec(jnp.int32), rowspec(jnp.float32),
+            in_specs=[colspec, zspec, rowspec(), rowspec(),
                       cspec, cspec, cspec],
-            out_specs=[colspec, zspec, rowspec(jnp.int32),
-                       rowspec(jnp.float32), rowspec(jnp.int32)],
+            out_specs=[colspec, zspec, rowspec(), rowspec(), rowspec()],
             out_shape=[
                 jax.ShapeDtypeStruct((Mp, Bp), jnp.float32),
                 jax.ShapeDtypeStruct((8, Bp), jnp.float32),

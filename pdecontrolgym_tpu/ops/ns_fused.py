@@ -28,16 +28,23 @@ pairs (per-env unrolled 2D dots were 3x slower).
 
 Packed layout (``pack_r`` = r > 1): f32 (8, 128) tiling pads an nx=64 lane
 axis to 128, so every HBM↔VMEM byte of a ``(·, 64, 64)`` block is half
-padding — a measured ~2x DMA tax on a kernel that is ~70% DMA-bound
+padding — a measured ~2x DMA tax on a kernel that was ~70% DMA-bound
 (docs/PERFORMANCE.md item 15). With r = 128//nx, a field is carried BETWEEN
 steps as ``(ny//r, nx·r)`` in "halves" packing — lane chunk j holds logical
 rows ``[j·ny/r, (j+1)·ny/r)`` — which is a pure lane-concat of sublane
 slices (NOT a reshape: Mosaic has no lane↔sublane reshape, but slicing and
 concatenating along lanes it handles fine). All elementwise/stencil physics
-runs natively packed (x-shifts gain a chunk-boundary mask; a y-shift is a
-sublane shift plus ONE row's ±nx lane shift); only the spectral solve's
-input ``g`` is unpacked and only ``p`` is repacked in-kernel, so the
-verified matmul pipeline — and its numerics — are reused verbatim.
+runs natively packed (a y-shift is a sublane roll plus ONE row's ±nx lane
+roll; x-shift chunk-boundary lanes are deliberately left unmasked — every
+consumer is interior- or edge-masked away from them). The spectral solve
+also stays packed: its x-side contractions run block-diagonally
+(``kron(I_r, Qx)``, full 128-wide MXU) so ``g`` never unpacks and the
+backward transform lands ``p`` directly packed; only the y-side matmuls
+pass through the logical domain, reached by a transpose + chunk concat.
+Optionally (``track_ref``) the NSReward tracking sum Σ(U−U_ref[t])² reduces
+in VMEM on the just-computed fields. The ``packed_compute=False`` variant
+(unpack both fields up front, plain compute, repack outputs) is kept for
+A/B measurement.
 """
 
 from __future__ import annotations
