@@ -148,3 +148,28 @@ def test_fused_step_is_differentiable(bc):
     gx_u, gx_a = jax.grad(loss(xla_env), argnums=(0, 1))(xstate.u, acts)
     np.testing.assert_allclose(gf_u, gx_u, rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(gf_a, gx_a, rtol=1e-5, atol=1e-6)
+
+
+def test_ppo_train_step_through_fused_packed_kernel():
+    """A full PPO train step (rollout + GAE + minibatch updates, policy
+    consuming obs) through the PACKED fused kernel: exercises the per-step
+    obs unpack, the in-kernel tracking reward, and the custom_vjp backward
+    inside the jitted trainer — the end-to-end training contract."""
+    from pdecontrolgym_tpu.agents.ppo import PPOConfig, PPOTrainer
+    from pdecontrolgym_tpu.envs.navier_stokes import make_lid_target
+    from pdecontrolgym_tpu.envs.wrappers import FlatObsEnv
+    from pdecontrolgym_tpu.rewards.ns import NSReward
+
+    cfg = _cfg(LID_BC, n=16, step_backend="fused")  # 16 folds to (2, 128)
+    U_ref, action_ref = make_lid_target(cfg, lid=1.0)
+    env = NavierStokesEnv(cfg, NSReward(0.1), U_ref, action_ref)
+    assert env._pack_r > 1 and env._fused_track
+    trainer = PPOTrainer(
+        FlatObsEnv(env),
+        PPOConfig(num_envs=4, num_steps=3, num_epochs=1, num_minibatches=2,
+                  hidden=(8, 8)),
+    )
+    runner = trainer.init(jax.random.key(0))
+    runner, metrics = trainer.make_train_step()(runner)
+    assert bool(jnp.isfinite(metrics["loss"]))
+    assert bool(jnp.isfinite(metrics["mean_reward"]))
