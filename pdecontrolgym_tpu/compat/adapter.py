@@ -906,6 +906,14 @@ class NavierStokes2D(gym.Env):
         action_dim: int = 1,
         reward_class=None,
         normalize: bool = False,
+        # TPU-only additive kwargs (reference signature ends above; defaults
+        # reproduce the reference's f64 Jacobi exactly). pressure_solver
+        # "direct"/"matpow" + dtype np.float32 unlock the fast paths
+        # (docs/ENVIRONMENTS.md "NavierStokes2D") through the same adapter.
+        pressure_solver: str = "jacobi",
+        pressure_layout: str = "grid",
+        dtype=None,
+        step_backend: str = "auto",
     ):
         super().__init__()
         from pdecontrolgym_tpu.rewards.ns import NSReward
@@ -921,6 +929,11 @@ class NavierStokes2D(gym.Env):
                 "right": ["Dirchilet", "Dirchilet"],
             }
         )
+        cfg_kw = {}
+        if dtype is not None:
+            import jax.numpy as _jnp
+
+            cfg_kw["dtype"] = _jnp.dtype(dtype).type
         cfg = NavierStokesConfig(
             T=T, dt=dt, X=X, dx=dx, Y=Y, dy=dy,
             action_dim=action_dim,
@@ -929,6 +942,10 @@ class NavierStokes2D(gym.Env):
             stable_factor=stable_factor,
             normalize=normalize,
             boundary_condition=bc,
+            pressure_solver=pressure_solver,
+            pressure_layout=pressure_layout,
+            step_backend=step_backend,
+            **cfg_kw,
         )
         self.config = cfg
         reward = reward_class or NSReward(0.1)

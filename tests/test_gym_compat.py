@@ -255,3 +255,29 @@ def test_vector_env_non_square_ns_obs_shape():
     obs, _ = venv.reset()
     assert venv.single_observation_space.shape == obs.shape[1:]  # (ny, nx, 2)
     assert obs.shape == (3, cfg.ny, cfg.nx, 2)
+
+
+def test_ns_adapter_fast_solver_kwargs():
+    """The NS Gym adapter accepts the ADDITIVE TPU kwargs (pressure_solver /
+    pressure_layout / dtype / step_backend) after the reference signature;
+    defaults still reproduce the reference's f64 Jacobi configuration."""
+    import numpy as np
+
+    from pdecontrolgym_tpu.compat.adapter import NavierStokes2D
+
+    ic = lambda X: (np.ones_like(X), np.zeros_like(X), np.zeros_like(X))
+    env = NavierStokes2D(
+        reset_init_condition_func=ic,
+        T=0.01, dt=1e-3, X=1.0, dx=0.1, Y=1.0, dy=0.1,
+        pressure_solver="direct", dtype=np.float32,
+    )
+    assert env.fenv.config.pressure_solver == "direct"
+    obs, _ = env.reset()
+    assert obs.dtype == np.float32
+    assert env.observation_space.dtype == np.float32
+    o2, r, term, trunc, _ = env.step(np.array([0.5]))
+    assert np.isfinite(r) and o2.shape == obs.shape
+    # defaults unchanged: plain construction still builds f64 jacobi
+    env0 = NavierStokes2D(reset_init_condition_func=ic,
+                          T=0.01, dt=1e-3, X=1.0, dx=0.1, Y=1.0, dy=0.1)
+    assert env0.fenv.config.pressure_solver == "jacobi"
