@@ -120,11 +120,77 @@ def _rd_implicit_rows(num_envs, repeats, solvers):
         }), flush=True)
 
 
+def _measure_backend(env, policy, num_envs, agent_steps, sample_rate, repeats):
+    from pdecontrolgym_tpu.parallel.rollout import rollout
+
+    run = jax.jit(lambda key: rollout(
+        env, policy, num_envs, agent_steps, key)[1].reward.sum())
+    t0 = time.time()
+    float(np.asarray(run(jax.random.key(0))))
+    compile_s = time.time() - t0
+    best = float("inf")
+    for i in range(repeats):
+        t0 = time.perf_counter()
+        float(np.asarray(run(jax.random.key(i + 1))))
+        best = min(best, time.perf_counter() - t0)
+    return num_envs * agent_steps * sample_rate / best, compile_s
+
+
+def _sentinel_check(num_envs, repeats):
+    """Round-entry drift guard for the frozen ``backend="auto"`` crossover
+    thresholds (``TransportEnv._pallas_auto`` and peers hardcode a sweep from
+    THIS image's XLA — CLAUDE.md records one round where an XLA upgrade
+    flipped a measured folklore). At a few sentinel sizes, re-measure both
+    backends and assert the auto-picked one still wins (within a 10% noise
+    band). Exits nonzero with re-measure instructions on a flip — run this
+    FIRST after any jax/XLA image change.
+    """
+    import sys
+
+    # (family, nx, maker): sizes straddling each frozen crossover
+    checks = [
+        ("transport", 64, _mk_transport),    # auto keeps XLA below 128
+        ("transport", 256, _mk_transport),   # auto picks Pallas from 128 up
+        ("burgers", 512, _mk_burgers),
+    ]
+    failures = []
+    for name, nx, mk in checks:
+        env_auto, _, _ = mk(nx, "auto")
+        picked = "pallas" if env_auto._pallas_auto() else "xla"
+        rates = {}
+        for backend in ("xla", "pallas"):
+            env, policy, sample_rate = mk(nx, backend)
+            rates[backend], _ = _measure_backend(
+                env, policy, num_envs, 10, sample_rate, repeats)
+        other = "pallas" if picked == "xla" else "xla"
+        ok = rates[picked] >= 0.9 * rates[other]
+        print(json.dumps({
+            "sentinel": name, "nx": nx, "auto_picked": picked,
+            "picked_rate": round(rates[picked]),
+            "other_rate": round(rates[other]), "ok": ok,
+        }), flush=True)
+        if not ok:
+            failures.append((name, nx, picked, rates))
+    if failures:
+        print(
+            "AUTO-BACKEND DRIFT: the frozen crossover thresholds lost at "
+            f"{[(n, x) for n, x, *_ in failures]} on this image's XLA.\n"
+            "Re-measure the full sweep (python bench_backend_sweep.py) and "
+            "update the _pallas_auto rules (envs/transport.py and peers) "
+            "plus docs/PERFORMANCE.md before trusting any auto-mode bench.",
+            file=sys.stderr,
+        )
+        sys.exit(1)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--envs", type=int, default=4096)
     ap.add_argument("--agent-steps", type=int, default=10)
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--sentinel", action="store_true",
+                    help="cheap round-entry drift check of the frozen "
+                         "backend='auto' crossovers (exits 1 on a flip)")
     ap.add_argument("--rd-implicit", default=None,
                     help="comma list of implicit solvers to compare "
                          "(thomas,pcr,dense) instead of the backend sweep")
@@ -135,12 +201,14 @@ def main():
     ap.add_argument("--rd-nx", default="128,256,512,1024,2048")
     args = ap.parse_args()
 
+    if args.sentinel:
+        _sentinel_check(args.envs, args.repeats)
+        return
+
     if args.rd_implicit:
         _rd_implicit_rows(args.envs, args.repeats,
                           [s for s in args.rd_implicit.split(",") if s])
         return
-
-    from pdecontrolgym_tpu.parallel.rollout import rollout
 
     jobs = []
     for nx in filter(None, args.transport_nx.split(",")):
@@ -153,17 +221,9 @@ def main():
     for name, nx, mk in jobs:
         for backend in ("xla", "pallas"):
             env, policy, sample_rate = mk(nx, backend)
-            run = jax.jit(lambda key: rollout(
-                env, policy, args.envs, args.agent_steps, key)[1].reward.sum())
-            t0 = time.time()
-            float(np.asarray(run(jax.random.key(0))))
-            compile_s = time.time() - t0
-            best = float("inf")
-            for i in range(args.repeats):
-                t0 = time.perf_counter()
-                float(np.asarray(run(jax.random.key(i + 1))))
-                best = min(best, time.perf_counter() - t0)
-            rate = args.envs * args.agent_steps * sample_rate / best
+            rate, compile_s = _measure_backend(
+                env, policy, args.envs, args.agent_steps, sample_rate,
+                args.repeats)
             print(json.dumps({
                 "env": name, "nx": nx, "backend": backend,
                 "value": round(rate), "unit": "sub-steps/s",

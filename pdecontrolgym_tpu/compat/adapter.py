@@ -791,7 +791,9 @@ class BrainTumor1D(gym.Env):
         self.t1_radius_idx_vs_time = np.zeros(self.nt)
         self.t1_radius_idx_vs_time[0] = np.nan
         self.dosage_vs_time = np.zeros(self.nt)
-        return np.asarray(obs), {}
+        # f64 cast matches the declared Box dtype (step() already emits f64
+        # via the packed read) — check_env flags a reset/space dtype mismatch
+        return np.asarray(obs, np.float64), {}
 
     def step(self, control):
         control = float(np.asarray(control, np.float64).reshape(-1)[0])
@@ -973,9 +975,12 @@ class NavierStokes2D(gym.Env):
         # declared space — gymnasium's check_env contract; the reference's
         # f32 Box vs f64 obs would fail its own imported checker.
         obs_dt = np.dtype(jnp.zeros((), cfg.dtype).dtype)
+        # finite bounds (vs the reference's implicit unboundedness): velocity
+        # fields that reach 1e10 have long since diverged — a ±inf Box trips
+        # gymnasium's check_env bounds warning for no expressive gain
         self.observation_space = spaces.Box(
-            np.full((cfg.nx, cfg.ny, 2), -np.inf, dtype=obs_dt),
-            np.full((cfg.nx, cfg.ny, 2), np.inf, dtype=obs_dt),
+            np.full((cfg.nx, cfg.ny, 2), -1e10, dtype=obs_dt),
+            np.full((cfg.nx, cfg.ny, 2), 1e10, dtype=obs_dt),
             dtype=obs_dt,
         )
         self.action_space = spaces.Box(

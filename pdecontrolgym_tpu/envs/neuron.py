@@ -431,9 +431,10 @@ class NeuronEnv(FunctionalEnv):
 
     def step_batch(self, state: NeuronState, actions=None):
         """Batched step: the fused VMEM K-step kernel when eligible
-        (``_kernel_eligible``), else ``vmap(step)``. The kernel path returns
-        ``info={}`` (the vmap path's per-step control/Z/L diagnostics are
-        per-dt quantities)."""
+        (``_kernel_eligible``), else ``vmap(step)``. The kernel path reports
+        the same ``L``/``Z`` diagnostics as the vmap path (both are kernel
+        outputs); only ``control`` is omitted — it is a per-dt intermediate
+        the K-step block does not surface."""
         fn = self._get_interval_fn()
         if fn is False:
             return jax.vmap(lambda s, a: self.step(s, a))(state, actions)
@@ -446,5 +447,5 @@ class NeuronEnv(FunctionalEnv):
             reward=zero,
             terminated=done,
             truncated=jnp.zeros_like(done),
-            info={},
+            info={"L": L, "Z": Z},
         )
