@@ -93,9 +93,22 @@ class NavierStokesConfig:
     # DMA on a kernel that is ~70% DMA-bound. State fields (u, v, p) are then
     # PACKED between steps; observations, step() and every public surface
     # stay in the logical (ny, nx) layout (unpacked lazily — XLA drops the
-    # unpack when nothing consumes it, e.g. open-loop rollouts). "off":
-    # logical layout everywhere.
+    # unpack when nothing consumes it, e.g. open-loop rollouts).
+    # "auto" packs ONLY under the stock NSReward: batched rewards consume
+    # frames in the carried layout, which is safe exactly because NSReward's
+    # tracking term is a permutation-invariant elementwise sum — a custom
+    # reward_class with spatial structure (boundary weights, gradients,
+    # slicing) would silently compute wrong values on packed frames (review
+    # finding). "force": pack regardless — only for custom rewards that are
+    # themselves permutation-invariant over grid cells. "off": logical
+    # layout everywhere.
     packed_layout: str = "auto"
+    # MXU precision for the fused kernel's four spectral matmuls. "highest"
+    # (default): full-f32 passes, bit-comparable to the XLA twin. "default":
+    # the MXU's native mixed-precision pass — measured ~24% of the 64x64
+    # step time back at ~0.1% relative field drift over a 200-step episode
+    # (docs/PERFORMANCE.md); opt-in, never auto-picked. XLA path ignores it.
+    spectral_precision: str = "highest"
     # per-edge (u_condition, v_condition) ordered (lower, upper, left, right);
     # default mirrors the examples' dict: controllable lid at the upper edge
     # (``NS2Dppo.py:21-26``). Use freeze_boundary_condition() to convert a dict.
@@ -231,7 +244,13 @@ class NavierStokesEnv(FunctionalEnv):
         from pdecontrolgym_tpu.ops.ns_fused import make_fused_ns_step, pick_pack_r
         from pdecontrolgym_tpu.rewards.ns import NSReward
 
-        if getattr(c, "packed_layout", "auto") == "auto":
+        layout = getattr(c, "packed_layout", "auto")
+        if layout == "force" or (
+            layout == "auto" and type(self.reward) is NSReward
+        ):
+            # "auto" packs only under the stock NSReward: batched rewards see
+            # carried-layout frames, which is only safe for permutation-
+            # invariant rewards (see the packed_layout config comment)
             self._pack_r = pick_pack_r(c.ny, c.nx)
         # When the reward is the stock NSReward and batches are lockstep,
         # the kernel also reduces the tracking term Σ(U−U_ref[t])² in VMEM
@@ -248,6 +267,7 @@ class NavierStokesEnv(FunctionalEnv):
             boundary_condition=c.boundary_condition, dtype=jnp.float32,
             pack_r=self._pack_r,
             track_ref=self._fused_track,
+            spectral_precision=getattr(c, "spectral_precision", "highest"),
             interpret=on_cpu,
         )
         # Mosaic kernels have no autodiff rule; without this wrapper

@@ -158,6 +158,7 @@ def make_fused_ns_step(
     packed_compute: bool = True,
     write_pressure: bool = True,
     track_ref: bool = False,
+    spectral_precision: str = "highest",
     interpret: bool = False,
     _ablate: str = "",
 ):
@@ -173,6 +174,11 @@ def make_fused_ns_step(
     """
     if dtype not in (jnp.float32, jnp.dtype("float32")):
         raise ValueError("fused NS step is float32-only (Mosaic has no f64)")
+    if spectral_precision not in ("highest", "high", "default"):
+        raise ValueError(
+            f"spectral_precision must be 'highest', 'high' or 'default', "
+            f"got {spectral_precision!r}"
+        )
     r = int(pack_r)
     if r > 1 and (ny % r or 128 % (nx * r)):
         raise ValueError(f"pack_r={r} does not fold a {ny}x{nx} grid evenly")
@@ -197,6 +203,51 @@ def make_fused_ns_step(
     else:
         qx_in, qxT_in = basis["qx"], basis["qxT"]
         cx = nx
+
+    # Effective MXU precision mode, resolved at build time ("mx*" ablates
+    # are the measurement aliases of the spectral_precision knob).
+    if "mxdefault" in _ablate or spectral_precision == "default":
+        _prec_mode = "default"
+    elif "mxhigh" in _ablate or spectral_precision == "high":
+        _prec_mode = "high"
+    else:
+        _prec_mode = "highest"
+
+    # Wide y-side ("q-packing"): the y-transform pair runs on (be, nx, ny)
+    # intermediates whose minor dim is ny < 128 — at ny=64 every vreg/MXU
+    # pass is half-empty. Pack r2 = 128//ny kx-rows into the lane axis
+    # (ap[b, q, s·ny+y] = a[b, q+s·nq, y]) and contract with the
+    # block-diagonal kron(I_r2, Qy): full-width MXU and 128-lane vregs for
+    # the invT scale. The kron zeros double the y-side MACs, which the MXU
+    # fully hides under the HBM DMA at bf16-pass precisions but NOT in
+    # full-f32 HIGHEST passes (measured 0.675 vs 0.594 ms/step at
+    # 2048x64x64) — so the wide pipeline is used exactly when the matmuls
+    # run bf16 passes ("default"/"high") and the narrow one for "highest".
+    r2 = (128 // ny
+          if (r > 1 and packed_compute and 128 % ny == 0
+              and _prec_mode != "highest")
+          else 1)
+    if r2 > 1 and nx % r2 == 0:
+        import numpy as _np
+
+        _ey = _np.eye(r2, dtype=_np.float32)
+        qyK = jnp.asarray(_np.kron(_ey, _np.asarray(basis["qy"])), dtype)
+        qyKT = jnp.asarray(_np.kron(_ey, _np.asarray(basis["qyT"])), dtype)
+        nq = nx // r2
+        _invT_np = _np.asarray(basis["invT"])  # (nx, ny)
+        invK = jnp.asarray(
+            _np.concatenate(
+                [_invT_np[s * nq : (s + 1) * nq, :] for s in range(r2)],
+                axis=-1,
+            ),
+            dtype,
+        )  # (nq, r2·ny) — invT in the q-packed layout
+        cy, cyT, inv_in = qyK, qyKT, invK
+        cyn = r2 * ny
+    else:
+        r2 = 1
+        cy, cyT, inv_in = basis["qy"], basis["qyT"], basis["invT"]
+        nq = nx
 
     # Statically fused boundary-condition plan: for a field with no Neumann
     # edge, the reference's 4 sequential edge writes collapse to at most two
@@ -225,20 +276,16 @@ def make_fused_ns_step(
             return jnp.concatenate([f[..., 1:, :], z], axis=-2)
         return jnp.concatenate([z, f[..., :-1, :]], axis=-2)
 
-    # packed-shift masks, built ONCE per kernel invocation by _packed_masks
-    # (inside the kernel body — pallas rejects captured traced constants)
-    # so every shift call reuses one iota+compare
-    _yedge = {}
-
     def _packed_masks():
-        # called at the top of every kernel trace: clears any tracers from a
-        # previous trace and rebuilds the masks inside the current one
-        _yedge.clear()
+        # packed-shift masks, built once per kernel trace (inside the kernel
+        # body — pallas rejects captured traced constants) and passed to the
+        # per-trace _shift_y so every shift call reuses one iota+compare.
+        # Returned (not stashed in closure state): concurrent traces of the
+        # same built step function must not see each other's tracers.
         if r == 1:
-            return
+            return None
         sub = jax.lax.broadcasted_iota(jnp.int32, (1, m, L), 1)
-        _yedge[1] = sub == m - 1
-        _yedge[-1] = sub == 0
+        return {1: sub == m - 1, -1: sub == 0}
 
     def _shift_x(f, k):
         # packed-aware: a logical x-shift is just the lane shift. Lanes that
@@ -268,21 +315,25 @@ def make_fused_ns_step(
             return f
         return jnp.concatenate([f[..., k:], f[..., :k]], axis=-1)
 
-    def _shift_y(f, k):
+    def _make_shift_y(yedge):
         # packed-aware: a logical y-shift is a sublane shift; the vacated
         # edge sublane takes the NEXT chunk's boundary row, which lives
         # ±nx lanes over in the opposite edge sublane (zero past chunk r−1).
         # Built from full-block circular rolls + masked selects — slicing
         # out the single edge row would give concat operands with mixed
         # sublane/lane offsets, which Mosaic refuses to concatenate.
-        if r == 1:
-            return _shift_y_plain(f, k)
-        # the wrap row's out-of-range lanes (logical rows beyond the grid,
-        # i.e. the vacated final chunk) carry wrapped-around values instead
-        # of the logical zero-fill — unmasked for the same reason as
-        # _shift_x: no consumer in this kernel reads them
-        ro = _sroll(f, k)  # edge sublane now holds the wrap source row
-        return jnp.where(_yedge[k], _lroll(ro, k * nx), ro)
+        # ``yedge`` is this trace's mask dict from _packed_masks.
+        def _shift_y(f, k):
+            if r == 1:
+                return _shift_y_plain(f, k)
+            # the wrap row's out-of-range lanes (logical rows beyond the
+            # grid, i.e. the vacated final chunk) carry wrapped-around
+            # values instead of the logical zero-fill — unmasked for the
+            # same reason as _shift_x: no consumer in this kernel reads them
+            ro = _sroll(f, k)  # edge sublane now holds the wrap source row
+            return jnp.where(yedge[k], _lroll(ro, k * nx), ro)
+
+        return _shift_y
 
     def _masks(rows, lanes):
         # logical (row, col) recovered from (sublane, lane): lane chunk j
@@ -404,7 +455,6 @@ def make_fused_ns_step(
             ts_ref[:] = jnp.sum(s, axis=1, keepdims=True)
 
         be = u_ref.shape[0]
-        _packed_masks()
         act = act_ref[:][:, :, None]  # (be, 1, 1) scalar per env
         if r > 1 and not packed_compute:
             # packed DMA, plain compute: unpack both fields up front, run the
@@ -415,7 +465,7 @@ def make_fused_ns_step(
             pack_out = _pack_k
         else:
             u, v = u_ref[:], v_ref[:]
-            SX, SY = _shift_x, _shift_y
+            SX, SY = _shift_x, _make_shift_y(_packed_masks())
             interior, edges = _masks(m, L)
             pack_out = lambda f: f
         bcm = _bc_masks(edges)
@@ -472,30 +522,133 @@ def make_fused_ns_step(
             qy_ref[:], qyT_ref[:], qx_ref[:], qxT_ref[:], invT_ref[:]
         )
 
-        _prec = (jax.lax.Precision.DEFAULT if "mxdefault" in _ablate
+        # "highest" (default) runs the spectral matmuls in full-f32 MXU
+        # passes — bit-comparable to the XLA twin. "high" is the bf16_3x
+        # 3-pass scheme (hi/lo bf16 split, ~f32-mantissa products; Mosaic
+        # has no Precision.HIGH so the passes are spelled out); "default"
+        # is the single bf16 pass. Both cheaper modes also run the two
+        # in-kernel transposes on bf16 ("default") — identical rounding to
+        # what the DEFAULT matmul does to its inputs anyway — which halves
+        # the shuffle bytes (the measured bottleneck of the wide pipeline).
+        # Opt-in config knobs, never auto-picked (docs/PERFORMANCE.md).
+        _prec = (jax.lax.Precision.DEFAULT if _prec_mode != "highest"
                  else jax.lax.Precision.HIGHEST)
+        # dtype the layout shuffles (swapaxes/concats) run in
+        _shufdt = jnp.bfloat16 if _prec_mode == "default" else jnp.float32
 
         def bdot(x3, m2, rows):
-            # (be, rows, k) @ (k, cols): every env batches into ONE MXU matmul
-            return jnp.dot(
-                x3.reshape(be * rows, m2.shape[0]), m2,
-                preferred_element_type=jnp.float32,
-                precision=_prec,
-            ).reshape(be, rows, m2.shape[1])
+            # (be, rows, k) @ (k, cols): every env batches into ONE MXU
+            # matmul. x3 may arrive bf16 (post-shuffle in "default" mode).
+            x2 = x3.reshape(be * rows, m2.shape[0])
+            if _prec_mode == "high":
+                xh = x2.astype(jnp.bfloat16)
+                xl = (x2 - xh.astype(jnp.float32)).astype(jnp.bfloat16)
+                wh = m2.astype(jnp.bfloat16)
+                wl = (m2 - wh.astype(jnp.float32)).astype(jnp.bfloat16)
+                dot = lambda a, b: jnp.dot(
+                    a, b, preferred_element_type=jnp.float32)
+                out = dot(xh, wh) + (dot(xh, wl) + dot(xl, wh))
+            elif _prec_mode == "default":
+                out = jnp.dot(
+                    x2.astype(jnp.bfloat16), m2.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                )
+            else:
+                out = jnp.dot(
+                    x2, m2, preferred_element_type=jnp.float32,
+                    precision=_prec,
+                )
+            return out.reshape(be, rows, m2.shape[1])
 
-        if r > 1 and packed_compute:
+        if "spec4mm" in _ablate:  # perf probe: 4 full-width kron matmuls,
+            # NO transposes/packs — isolates MXU cost from layout-shuffle
+            # cost inside the spectral section (1.33x the real matmul MACs)
+            q = qx_ref[:]
+            pp = bdot(g, q, m)
+            pp = bdot(pp, q, m)
+            pp = bdot(pp, q, m)
+            p = bdot(pp, q, m)
+            u_n = jnp.where(interior, u_p - (dtf / rho) * ddx(p), u_p)
+            v_n = jnp.where(interior, v_p - (dtf / rho) * ddy(p), v_p)
+            u_n, v_n = _apply_bc(u_n, v_n, act, edges, SX, SY, bcm)
+            uo_ref[:] = pack_out(u_n)
+            vo_ref[:] = pack_out(v_n)
+            if po_ref is not None:
+                po_ref[:] = pack_out(p)
+            _track(uo_ref[:], vo_ref[:])
+            return
+
+        if "specprobe" in _ablate and r > 1 and packed_compute and r2 > 1:
+            # perf probes (wrong math, right shapes/structure):
+            # specprobe_mm — the 4 wide matmuls + invT scale, NO shuffles;
+            # specprobe_shuf — the 2 transposes + 2 four-way concats, NO
+            # matmuls. Together they bracket the wide pipeline's cost split.
+            if "specprobe_mm" in _ablate:
+                t = bdot(g, qy, m) * invT
+                e3 = bdot(t, qyT, m)
+                pp = bdot(bdot(e3, qx, m), qxT, m)
+            else:  # specprobe_shuf
+                aT = jnp.swapaxes(g, 1, 2)
+                ap = jnp.concatenate(
+                    [aT[:, j * nx + s * nq : j * nx + s * nq + nq, :]
+                     for s in range(r2) for j in range(r)], axis=-1)
+                e3T = jnp.swapaxes(ap * 1.0001, 1, 2)
+                pp = jnp.concatenate(
+                    [e3T[:, s * ny + j * m : s * ny + j * m + m, :]
+                     for j in range(r) for s in range(r2)], axis=-1)
+            p = pp
+            u_n = jnp.where(interior, u_p - (dtf / rho) * ddx(p), u_p)
+            v_n = jnp.where(interior, v_p - (dtf / rho) * ddy(p), v_p)
+            u_n, v_n = _apply_bc(u_n, v_n, act, edges, SX, SY, bcm)
+            uo_ref[:] = pack_out(u_n)
+            vo_ref[:] = pack_out(v_n)
+            if po_ref is not None:
+                po_ref[:] = pack_out(p)
+            _track(uo_ref[:], vo_ref[:])
+            return
+        if r > 1 and packed_compute and r2 > 1:
+            # fully-wide packed transform (round 5): every intermediate
+            # keeps a 128-lane minor so all four contractions are identical
+            # full-width block-diagonal matmuls and the invT scale runs on
+            # full vregs (the old path's ny-wide y-side was the measured
+            # bottleneck — not the transposes, which are cheap in VMEM).
+            # Layouts: g packed [sub, j·nx+kx-ish]; aT [j·nx+kx, sub];
+            # ap q-packed [q, s·ny+y]; t/e3 q-packed modes; e3T [s·ny+y, q];
+            # pin packed [sub, j·nx+kx]; p packed.
+            aT = jnp.swapaxes(bdot(g, qx, m).astype(_shufdt), 1, 2)
+            # compose chunk-merge + q-pack in ONE shuffle: lane block (s, j)
+            # at offset s·ny + j·m holds rows j·nx + s·nq .. +nq of aT
+            ap = jnp.concatenate(
+                [aT[:, j * nx + s * nq : j * nx + s * nq + nq, :]
+                 for s in range(r2) for j in range(r)], axis=-1
+            )  # (be, nq, r2·ny): ap[b, q, s·ny+y] = A[b, y, kx=q+s·nq]
+            t = bdot(ap, qy, nq) * invT  # qy = kron(I_r2, Qy); invT = invK
+            e3 = bdot(t, qyT, nq)  # (be, nq, r2·ny): [q, s·ny+y]
+            e3T = jnp.swapaxes(e3.astype(_shufdt), 1, 2)  # (be, r2·ny, nq)
+            # compose unpack + transpose-pack: lane block (j, s) at offset
+            # j·nx + s·nq takes rows s·ny + j·m .. +m of e3T
+            pin = jnp.concatenate(
+                [e3T[:, s * ny + j * m : s * ny + j * m + m, :]
+                 for j in range(r) for s in range(r2)], axis=-1
+            )  # (be, m, L): pin[b, sub, j·nx+kx] = E[b, kx, y=j·m+sub]
+            p = bdot(pin, qxT, m)  # (be, m, L) packed P
+            p = jnp.where(edges["right"], SX(p, -1), p)
+            p = jnp.where(edges["lower"], SY(p, 1), p)
+            p = jnp.where(edges["left"], SX(p, 1), p)
+            p = jnp.where(edges["upper"], SY(p, -1), p)
+        elif r > 1 and packed_compute:
             # packed-native transform: x contractions are block-diagonal
             # kron(I_r, Qx) matmuls on the packed layout (full MXU width);
             # the y side runs in the logical domain reached by transposing
             # the packed A and lane-concatenating its chunks (which IS the
             # plain 'a' — no unpack needed). The backward x matmul lands p
             # directly packed, so the ring copies run packed too.
-            a = jnp.swapaxes(bdot(g, qx, m), 1, 2)  # (be, L, m)
+            a = jnp.swapaxes(bdot(g, qx, m).astype(_shufdt), 1, 2)
             a = jnp.concatenate(
                 [a[:, j * nx : (j + 1) * nx, :] for j in range(r)], axis=-1
             )  # (be, nx, ny) == plain A transposed: [l, y]
             t = bdot(a, qy, nx) * invT
-            e = jnp.swapaxes(bdot(t, qyT, nx), 1, 2)  # (be, ny, nx): [y, l]
+            e = jnp.swapaxes(bdot(t, qyT, nx).astype(_shufdt), 1, 2)
             p = bdot(_pack_k(e), qxT, m)  # (be, m, L) packed P
             p = jnp.where(edges["right"], SX(p, -1), p)
             p = jnp.where(edges["lower"], SY(p, 1), p)
@@ -507,9 +660,9 @@ def make_fused_ns_step(
             # batched minor-dim transposes swap which grid axis is minor.
             # A[b,y,l] = Σx g·Qx; Tt[b,l,k] = Σy At·Qy (= T transposed);
             # E[b,l,y] = Σk (Tt⊙invT)·Qyᵀ; P[b,y,x] = Σl Et·Qxᵀ.
-            a = jnp.swapaxes(bdot(g, qx, ny), 1, 2)
+            a = jnp.swapaxes(bdot(g, qx, ny).astype(_shufdt), 1, 2)
             t = bdot(a, qy, nx) * invT
-            p = jnp.swapaxes(bdot(t, qyT, nx), 1, 2)
+            p = jnp.swapaxes(bdot(t, qyT, nx).astype(_shufdt), 1, 2)
             p = bdot(p, qxT, ny)
             # the reference's sequential mirror-ring copies (corner chain
             # order), in the same domain p was produced in
@@ -540,13 +693,12 @@ def make_fused_ns_step(
         const = lambda rr, cc: pl.BlockSpec((rr, cc), lambda i: (0, 0),
                                             memory_space=pltpu.VMEM)
         out_shape = jax.ShapeDtypeStruct((batch, m, L), dtype)
-        ins = [u, v, act, basis["qy"], basis["qyT"], qx_in, qxT_in,
-               basis["invT"]]
+        ins = [u, v, act, cy, cyT, qx_in, qxT_in, inv_in]
         in_specs = [
             field(), field(),
             pl.BlockSpec((tb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            const(ny, ny), const(ny, ny),
-            const(cx, cx), const(cx, cx), const(nx, ny),
+            const(*cy.shape), const(*cyT.shape),
+            const(cx, cx), const(cx, cx), const(*inv_in.shape),
         ]
         out_specs = [field(), field()]
         out_shapes = [out_shape, out_shape]
@@ -568,6 +720,16 @@ def make_fused_ns_step(
             in_specs=in_specs,
             out_specs=out_specs,
             out_shape=out_shapes,
+            # u/v outputs overwrite the u/v input buffers in place: block i
+            # only ever reads ITS OWN input block (plus broadcast consts),
+            # and the pipeline fetches block i before writing block i, so
+            # in-place is hazard-free. Without this, every scan-carried
+            # rollout step paid two (B, m, L) XLA copies re-homing the
+            # kernel outputs into the carry buffers — 0.20 ms/step of the
+            # measured 0.80 at 2048x64x64 (profiler trace, round 5). XLA
+            # still inserts a defensive copy when the caller's input buffer
+            # is live elsewhere (e.g. custom_vjp residuals in training).
+            input_output_aliases={0: 0, 1: 1},
             # the 16 MB scoped-vmem default is a compiler budget, not the
             # physical core limit (see ops/pallas1d.py); some tile sizes
             # need more in-kernel scratch than the default allows. The env

@@ -164,12 +164,83 @@ def test_ppo_train_step_through_fused_packed_kernel():
     U_ref, action_ref = make_lid_target(cfg, lid=1.0)
     env = NavierStokesEnv(cfg, NSReward(0.1), U_ref, action_ref)
     assert env._pack_r > 1 and env._fused_track
+    # spy on the env's fused step_batch: FlatObsEnv must DELEGATE to it (the
+    # review finding was that the wrapper hid it, silently demoting training
+    # to vmap(step) and leaving the fused path unreachable)
+    fused_calls = []
+    orig_step_batch = env.step_batch
+
+    def spying_step_batch(state, actions):
+        fused_calls.append(1)
+        return orig_step_batch(state, actions)
+
+    env.step_batch = spying_step_batch
+    wrapped = FlatObsEnv(env)
+    assert hasattr(wrapped, "step_batch")
+    assert wrapped.fixed_episode_length == env.fixed_episode_length
     trainer = PPOTrainer(
-        FlatObsEnv(env),
+        wrapped,
         PPOConfig(num_envs=4, num_steps=3, num_epochs=1, num_minibatches=2,
                   hidden=(8, 8)),
     )
     runner = trainer.init(jax.random.key(0))
     runner, metrics = trainer.make_train_step()(runner)
+    assert fused_calls, "train step traced without the fused step_batch"
     assert bool(jnp.isfinite(metrics["loss"]))
     assert bool(jnp.isfinite(metrics["mean_reward"]))
+
+
+@pytest.mark.parametrize("prec,tol", [("high", 4e-4), ("default", 3e-2)])
+def test_spectral_precision_knob(prec, tol):
+    """Opt-in reduced-precision spectral modes stay within their documented
+    error envelopes vs the full-f32 HIGHEST kernel over a 20-step rollout,
+    and "high" (manual bf16_3x) is strictly tighter than "default" (single
+    bf16 pass). HIGHEST itself is pinned to the XLA twin elsewhere."""
+    envs = {
+        p: _env(_cfg(LID_BC, step_backend="fused", spectral_precision=p))
+        for p in ("highest", prec)
+    }
+    states = {p: _batch_state(e, 3) for p, e in envs.items()}
+    acts = jnp.linspace(-1.0, 1.5, 3, dtype=jnp.float32)[:, None]
+    for _ in range(20):
+        for p, e in envs.items():
+            states[p], _ = e.step_batch(states[p], acts)
+    ref = envs["highest"]
+    scale = float(jnp.abs(ref._unpack(states["highest"].u)).max()) + 1e-6
+    for field in ("u", "v"):
+        a = envs[prec]._unpack(getattr(states[prec], field))
+        b = ref._unpack(getattr(states["highest"], field))
+        err = float(jnp.abs(a - b).max()) / scale
+        assert err < tol, (prec, field, err)
+        assert err > 0.0  # the knob actually changes the arithmetic
+
+
+def test_spectral_precision_rejects_unknown():
+    with pytest.raises(ValueError, match="spectral_precision"):
+        _env(_cfg(LID_BC, step_backend="fused", spectral_precision="bf8"))
+
+
+def test_packed_layout_gated_on_stock_reward():
+    """packed_layout="auto" must NOT pack under a custom reward_class:
+    batched rewards consume carried-layout frames, which is only safe for
+    the permutation-invariant stock NSReward (review finding). "force"
+    overrides for rewards the caller knows to be permutation-invariant."""
+    from pdecontrolgym_tpu.core.base import RewardCtx
+
+    class SpatialReward(NSReward):
+        """A reward with spatial structure (boundary column weighting)."""
+
+        def __call__(self, ctx: RewardCtx):
+            frame = ctx.extras["frame"]
+            return -jnp.abs(frame[..., 0, :, 0]).sum(-1)
+
+    cfg = _cfg(LID_BC, step_backend="fused")
+    nt = cfg.nt
+    mk = lambda reward, **kw: NavierStokesEnv(
+        _cfg(LID_BC, step_backend="fused", **kw), reward,
+        jnp.zeros((nt, cfg.ny, cfg.nx, 2), cfg.dtype),
+        2.0 * jnp.ones(nt, cfg.dtype),
+    )
+    assert mk(NSReward(0.1))._pack_r > 1          # stock reward packs
+    assert mk(SpatialReward(0.1))._pack_r == 1    # custom reward must not
+    assert mk(SpatialReward(0.1), packed_layout="force")._pack_r > 1
