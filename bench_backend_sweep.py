@@ -81,12 +81,17 @@ def _rd_implicit_rows(num_envs, repeats, solvers):
 
     for solver in solvers:
         # "<solver>-xla" pins backend="xla" (backend="auto" now routes pcr
-        # through the fused Pallas interval kernel on TPU)
+        # through the fused Pallas interval kernel on TPU); "pcr-elimxla"
+        # keeps the kernel but uses the round-4 XLA-side factor elimination
+        # (pcr_elimination="xla") for the A/B row
         name, _, forced = solver.partition("-")
+        elim = "kernel"
+        if forced == "elimxla":
+            elim, forced = "xla", ""
         cfg = ReactionDiffusionConfig(
             T=1.0, dt=4e-4, X=1.0, dx=1.0 / 256, control_sample_rate=0.01,
             scheme="implicit", theta=0.5, implicit_solver=name,
-            backend=forced or "auto",
+            backend=forced or "auto", pcr_elimination=elim,
         )
         env = ReactionDiffusionEnv(cfg, TunedReward1D(int(round(cfg.T / cfg.dt))))
         policy = lambda obs, _k: -0.1 * obs[..., -2]

@@ -45,11 +45,9 @@ class ReactionDiffusionConfig(Boundary1DConfig):
     # - "pcr": parallel cyclic reduction, O(log n) fully-vectorized steps
     #   (works with any per-env β). With backend "auto"/"pallas" on TPU the
     #   whole control interval runs as ONE VMEM-resident kernel: the
-    #   coefficient elimination happens once per interval (in XLA, shipped
-    #   in as stacked factor blocks) and each sub-step only reduces the rhs
-    #   — 153M sub-steps/s at 4096×257 vs 53M for the XLA pcr scan and 133M
-    #   for dense (PERFORMANCE.md; an in-kernel-elimination variant measured
-    #   205M but cost ~7 min of Mosaic compile), correct for ANY β
+    #   coefficient elimination happens once per interval and each sub-step
+    #   only reduces the rhs — see ``pcr_elimination`` for where the
+    #   elimination runs; correct for ANY β
     # - "dense": precompute the affine propagator u⁺ = P·u + q·b once on the
     #   host and apply it as ONE batched matmul per sub-step — the θ-scheme
     #   operators are constant, so the whole solve rides the MXU; requires an
@@ -59,6 +57,13 @@ class ReactionDiffusionConfig(Boundary1DConfig):
     #   sampler's β into the propagator at construction, which would be
     #   silently wrong for users driving ``init_from`` with a different β
     implicit_solver: str = "auto"
+    # Where the fused PCR kernel's once-per-interval coefficient elimination
+    # runs. "kernel" (default, round 5): in-kernel, factors staged through a
+    # VMEM scratch ref — only β ships over HBM per interval (the round-4
+    # factor-block DMA was the 153M → 205M sub-steps/s gap at 4096×257).
+    # "xla": round-4 behavior — factors computed in XLA per interval and
+    # DMA'd in as ~20 stacked blocks; kept as a measured fallback.
+    pcr_elimination: str = "kernel"
 
 
 class ReactionDiffusionEnv(Boundary1DEnv):
@@ -217,6 +222,7 @@ class ReactionDiffusionEnv(Boundary1DEnv):
             update = reaction_diffusion_implicit_update_t(
                 c.dt, c.dx, self.state_dim, float(getattr(c, "theta", 1.0)),
                 neumann,
+                elimination=getattr(c, "pcr_elimination", "kernel"),
             )
         else:
             update = reaction_diffusion_update_t(c.dt, c.dx, self.state_dim,

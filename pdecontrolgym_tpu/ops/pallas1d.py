@@ -83,11 +83,21 @@ def make_interval_fn_t(
         # narrower tiles pipeline better across the grid); lane blocks must
         # be 128-aligned on real TPUs
         tile_b = 128
-    # make_aux(shape, beta_ref, ctrl) -> aux: per-tile loop-invariant
-    # precomputation run ONCE per interval (e.g. the implicit body's PCR
-    # coefficient elimination — the equivalent of XLA's loop-invariant code
-    # motion, but VMEM-resident)
-    make_aux = getattr(update_fn, "make_aux", lambda shape, beta_ref, ctrl: None)
+    # make_aux(shape, beta_ref, ctrl, *scratch) -> aux: per-tile
+    # loop-invariant precomputation run ONCE per interval (e.g. the implicit
+    # body's PCR coefficient elimination — the equivalent of XLA's
+    # loop-invariant code motion, but VMEM-resident). An update_fn may
+    # request a dedicated VMEM scratch block via ``aux_scratch_rows = R``:
+    # make_aux then receives a (R, tb) scratch ref to WRITE its factors
+    # into, and the sub-step body reads them back as ref slices. Staging
+    # through memory instead of carrying ~20 live traced arrays across the
+    # sub-step loop is what keeps Mosaic's live-range analysis (and compile
+    # time) sane — the round-4 in-kernel-elimination attempt without it
+    # compiled for ~7 minutes.
+    make_aux = getattr(
+        update_fn, "make_aux", lambda shape, beta_ref, ctrl, *scr: None
+    )
+    aux_rows = int(getattr(update_fn, "aux_scratch_rows", 0))
     boundary_const = bool(getattr(update_fn, "boundary_const", False))
     # update_fn.beta_rows = K > 1: the "beta" operand carries K stacked
     # (state_dim-padded) per-row blocks instead of one — e.g. the implicit
@@ -98,12 +108,12 @@ def make_interval_fn_t(
     beta_rows = int(getattr(update_fn, "beta_rows", 1))
 
     def kernel(u_ref, beta_ref, ctrl_ref, t0_ref, uo_ref, norms_ref, bsum_ref,
-               to_ref, us):
+               to_ref, us, *aux_scr):
         ctrl = ctrl_ref[:]  # (1, tb)
         t0 = t0_ref[:]  # (1, tb) i32
         us[0:D, :] = u_ref[:]
         us[D:NP, :] = jnp.zeros((NP - D, us.shape[1]), u_ref.dtype)
-        aux = make_aux((D, us.shape[1]), beta_ref, ctrl)
+        aux = make_aux((D, us.shape[1]), beta_ref, ctrl, *aux_scr)
 
         def store_norm(j):
             u = us[0:D, :]
@@ -219,7 +229,10 @@ def make_interval_fn_t(
                 jax.ShapeDtypeStruct((1, Bp), u.dtype),
                 jax.ShapeDtypeStruct((1, Bp), jnp.int32),
             ],
-            scratch_shapes=[pltpu.VMEM((NP, tb), u.dtype)],
+            scratch_shapes=(
+                [pltpu.VMEM((NP, tb), u.dtype)]
+                + ([pltpu.VMEM((aux_rows, tb), u.dtype)] if aux_rows else [])
+            ),
             interpret=interpret,
             # the default scoped-vmem budget reserves headroom we don't need
             # (no nested scopes, no spills): claim the full 128 MiB ceiling
@@ -313,7 +326,8 @@ def transport_update_t(dt: float, dx: float, nx: int):
 
 def reaction_diffusion_implicit_update_t(dt: float, dx: float,
                                          state_dim: int, theta: float,
-                                         neumann: bool):
+                                         neumann: bool,
+                                         elimination: str = "kernel"):
     """Transposed in-place implicit θ-scheme sub-step with a VMEM-resident
     PCR solve (``envs/reaction_diffusion.py:_implicit_interior`` semantics:
     ``(I − θ·dt·L) u⁺ = (I + (1−θ)·dt·L) u``, edge rows pinned to u(0)=0 and
@@ -321,21 +335,34 @@ def reaction_diffusion_implicit_update_t(dt: float, dx: float,
 
     The tridiagonal coefficients are CONSTANT across sub-steps (β and dt are
     fixed), so the whole PCR elimination of (a, b, c) runs ONCE per interval
-    — in XLA, via ``beta_transform``, which ships the per-step (α, β)
-    factors, 1/b and the explicit-part diagonal into the kernel as stacked
-    blocks of the beta operand (``beta_rows``) — and each sub-step only
-    reduces the rhs: ceil(log2 n) steps of
+    and each sub-step only reduces the rhs: ceil(log2 n) steps of
     ``d += α_k·shift(d, s) + β_k·shift(d, −s)`` plus one multiply, all on
     the VMEM tile. XLA performs the same hoisting (LICM over the scan) but
     pays HBM for every d round trip — the measured gap at 4096×257
-    (docs/PERFORMANCE.md). The elimination originally ran in-kernel; its ~20
-    tile-sized arrays' live ranges blew Mosaic compile time to ~8 min, and
-    as loop-invariant per-interval work it costs the same computed in XLA
-    (identical elementwise ops → identical f32 values), amortized-DMA'd in.
+    (docs/PERFORMANCE.md).
+
+    Two elimination placements:
+
+    - ``"kernel"`` (default, round 5): the elimination runs IN-KERNEL once
+      per interval, writing its per-step (α, β) factors, 1/b and the
+      explicit-part diagonal into a dedicated VMEM scratch block
+      (``aux_scratch_rows``); the sub-step body reads them back as ref
+      slices. Staging through memory is the fix for the round-4 attempt
+      whose ~20 live traced factor arrays blew Mosaic's live-range analysis
+      to ~7 min of compile — ref reads have no SSA live range. Only β ships
+      over HBM (1 block per interval instead of K≈20): the measured 153M →
+      205M sub-steps/s gap at 4096×257 was that factor-block DMA.
+    - ``"xla"`` (round-4 behavior, kept as fallback): ``beta_transform``
+      computes the same factors in XLA per interval and ships them in as
+      stacked blocks of the beta operand (``beta_rows``).
+
     Zero-shift semantics at the array edges are reproduced by giving the
     padded rows identity-row coefficients (a=c=0, b=1, d=0) and one-filling
     b shifts, which also removes the XLA path's division guard.
     """
+    if elimination not in ("kernel", "xla"):
+        raise ValueError(f"elimination must be 'kernel' or 'xla', "
+                         f"got {elimination!r}")
     F = dt / dx**2
     th = float(theta)
     n = state_dim
@@ -343,6 +370,8 @@ def reaction_diffusion_implicit_update_t(dt: float, dx: float,
     steps = max((max(n, 2) - 1).bit_length(), 1)
     has_eb = th < 1.0
     K = 2 * steps + 1 + (1 if has_eb else 0)  # alphas, betas, inv_b[, eb]
+    PADR = 1 << (steps - 1)  # max PCR stride = d-staging pad rows per side
+    _dsbase = K * dp  # d-staging region offset inside the factor scratch
 
     def beta_transform(beta):
         """(β…, n) → (…, K·dp): the PCR elimination factors, per env, padded
@@ -389,20 +418,6 @@ def reaction_diffusion_implicit_update_t(dt: float, dx: float,
             blocks.append(1.0 + (1.0 - th_c) * (dt_c * bpad - 2.0 * F_c))
         return jnp.concatenate(blocks, axis=-1)
 
-    def make_aux(shape, beta_ref, ctrl):
-        D_, tb = shape
-        blk = lambda k: beta_ref[k * dp : (k + 1) * dp, :]
-        alphas = tuple(blk(2 * s) for s in range(steps))
-        betas = tuple(blk(2 * s + 1) for s in range(steps))
-        inv_b = blk(2 * steps)
-        eb = blk(2 * steps + 1) if has_eb else None
-        # masks folded to f32 so the per-sub-step rhs pinning is one
-        # multiply + one fused add instead of two selects
-        row = jax.lax.broadcasted_iota(jnp.int32, (D_, tb), 0)
-        keep = ((row >= 1) & (row < n - 1)).astype(inv_b.dtype)
-        last = (row == n - 1).astype(inv_b.dtype)
-        return alphas, betas, inv_b, keep, last, eb
-
     def _shift_rows(x, k, fill=0.0):
         # out[i] = x[i-k] along the sublane (row) axis, fill at the vacated
         # rows (k may be negative)
@@ -412,8 +427,87 @@ def reaction_diffusion_implicit_update_t(dt: float, dx: float,
             return jnp.concatenate([pad, x[: rows - k, :]], axis=0)
         return jnp.concatenate([x[-k:, :], pad], axis=0)
 
+    def _masks(shape, dtype):
+        # masks folded to f32 so the per-sub-step rhs pinning is one
+        # multiply + one fused add instead of two selects
+        row = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        keep = ((row >= 1) & (row < n - 1)).astype(dtype)
+        last = (row == n - 1).astype(dtype)
+        return keep, last
+
+    def make_aux_xla(shape, beta_ref, ctrl, *scr):
+        blk = lambda k: beta_ref[k * dp : (k + 1) * dp, :]
+        alphas = tuple(blk(2 * s) for s in range(steps))
+        betas = tuple(blk(2 * s + 1) for s in range(steps))
+        inv_b = blk(2 * steps)
+        eb = blk(2 * steps + 1) if has_eb else None
+        keep, last = _masks(shape, inv_b.dtype)
+        return alphas, betas, inv_b, keep, last, eb
+
+    def make_aux_kernel(shape, beta_ref, ctrl, fac):
+        # the same elimination as beta_transform, run on the VMEM tile and
+        # staged through the `fac` scratch ref block by block
+        dtype = fac.dtype
+        keep, last = _masks(shape, dtype)
+        row = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        bpad = beta_ref[0:dp, :]  # β, zero pads (masked to identity below)
+        b = jnp.where(keep > 0, 1.0 + th * (2.0 * F - dt * bpad), 1.0)
+        off = keep * (-th * F)
+        a, c = off, off
+        stride = 1
+        for s in range(steps):
+            am, cm = _shift_rows(a, stride), _shift_rows(c, stride)
+            bm = _shift_rows(b, stride, 1.0)
+            ap, cp_ = _shift_rows(a, -stride), _shift_rows(c, -stride)
+            bp = _shift_rows(b, -stride, 1.0)
+            alpha = -a / bm
+            beta_k = -c / bp
+            # fold the rhs reduction's zero-fill shift semantics into the
+            # stored factors: rows the shift would zero-fill get a zero
+            # factor, so the hot loop can use bare circular rolls (one VPU
+            # pass) instead of pad+concat shifts (two) — once-per-interval
+            # masking buying ~25% of the per-sub-step passes
+            fac[2 * s * dp:(2 * s + 1) * dp, :] = jnp.where(
+                row >= stride, alpha, 0.0)
+            fac[(2 * s + 1) * dp:(2 * s + 2) * dp, :] = jnp.where(
+                row < dp - stride, beta_k, 0.0)
+            b = b + alpha * cm + beta_k * ap
+            a = alpha * am
+            c = beta_k * cp_
+            stride *= 2
+        fac[2 * steps * dp:(2 * steps + 1) * dp, :] = 1.0 / b
+        if has_eb:
+            fac[(2 * steps + 1) * dp:(2 * steps + 2) * dp, :] = (
+                1.0 + (1.0 - th) * (dt * bpad - 2.0 * F)
+            )
+        # zero the d-staging pads ONCE per interval: the per-sub-step solve
+        # keeps d in fac[base+PADR : base+PADR+dp] and reads its shifted
+        # neighbors as offset ref slices (free) instead of materializing
+        # pad+concat copies; writes never touch the pads, so they stay zero
+        # and provide the shifts' zero-fill for the whole interval
+        zero_pad = jnp.zeros((PADR, shape[1]), dtype)
+        fac[_dsbase:_dsbase + PADR, :] = zero_pad
+        fac[_dsbase + PADR + dp:_dsbase + 2 * PADR + dp, :] = zero_pad
+        return fac, keep, last
+
+    def _solve(d, alphas, betas, inv_b):
+        stride = 1
+        for alpha, beta_k in zip(alphas, betas):
+            d = (d + alpha * _shift_rows(d, stride)
+                 + beta_k * _shift_rows(d, -stride))
+            stride *= 2
+        return d * inv_b
+
     def update(us, beta_ref, ctrl, aux):
-        alphas, betas, inv_b, keep, last, eb = aux
+        if elimination == "kernel":
+            fac, keep, last = aux
+            blk = lambda k: fac[k * dp:(k + 1) * dp, :]
+            alphas = tuple(blk(2 * s) for s in range(steps))
+            betas = tuple(blk(2 * s + 1) for s in range(steps))
+            inv_b = blk(2 * steps)
+            eb = blk(2 * steps + 1) if has_eb else None
+        else:
+            alphas, betas, inv_b, keep, last, eb = aux
         u = us[0:dp, :]
         if neumann:
             boundary = ctrl * dx + u[n - 2:n - 1, :]  # previous state's [-2]
@@ -427,19 +521,35 @@ def reaction_diffusion_implicit_update_t(dt: float, dx: float,
             rhs = u
         # pin: d=0 at row 0 and pads, d=boundary at row n−1
         d = rhs * keep + last * boundary
-        stride = 1
-        for alpha, beta_k in zip(alphas, betas):
-            d = (d + alpha * _shift_rows(d, stride)
-                 + beta_k * _shift_rows(d, -stride))
-            stride *= 2
-        us[0:dp, :] = d * inv_b
+        if elimination == "kernel":
+            # scratch-staged reduction: d lives in the zero-padded staging
+            # region of fac, so each PCR step's two shifted operands are
+            # OFFSET REF SLICES of the previous write — no pad+concat
+            # copies in the hot loop, and the pads supply the zero fill
+            ctr = _dsbase + PADR
+            fac[ctr:ctr + dp, :] = d
+            stride = 1
+            for alpha, beta_k in zip(alphas, betas):
+                fac[ctr:ctr + dp, :] = (
+                    fac[ctr:ctr + dp, :]
+                    + alpha * fac[ctr - stride:ctr - stride + dp, :]
+                    + beta_k * fac[ctr + stride:ctr + stride + dp, :]
+                )
+                stride *= 2
+            us[0:dp, :] = fac[ctr:ctr + dp, :] * inv_b
+        else:
+            us[0:dp, :] = _solve(d, alphas, betas, inv_b)
         return boundary
 
     update.transposed = True
     update.boundary_const = not neumann
-    update.make_aux = make_aux
-    update.beta_transform = beta_transform
-    update.beta_rows = K
+    if elimination == "kernel":
+        update.make_aux = make_aux_kernel
+        update.aux_scratch_rows = _dsbase + 2 * PADR + dp
+    else:
+        update.make_aux = make_aux_xla
+        update.beta_transform = beta_transform
+        update.beta_rows = K
     return update
 
 

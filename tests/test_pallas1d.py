@@ -79,19 +79,23 @@ def test_reaction_diffusion_pallas_matches_xla(control_type):
     _compare(*_pair(ReactionDiffusionEnv, cfg, reward), steps=4)
 
 
+@pytest.mark.parametrize("elimination", ["kernel", "xla"])
 @pytest.mark.parametrize("theta,control_type", [
     (1.0, "Dirchilet"),   # backward Euler: rhs stencil statically dropped
     (0.5, "Dirchilet"),   # Crank-Nicolson
     (0.5, "Neumann"),     # state-dependent boundary read in-kernel
 ])
-def test_reaction_diffusion_implicit_pcr_pallas_matches_xla(theta, control_type):
+def test_reaction_diffusion_implicit_pcr_pallas_matches_xla(
+        theta, control_type, elimination):
     """The VMEM-resident PCR interval kernel (coefficient elimination hoisted
     to once per interval, 9-step rhs-only reduction per sub-step) vs the XLA
-    pcr solver — same θ-scheme semantics, fp-association tolerance."""
+    pcr solver — same θ-scheme semantics, fp-association tolerance. Covers
+    both elimination placements: in-kernel scratch-staged (round-5 default)
+    and the XLA factor-block fallback (pcr_elimination='xla')."""
     cfg = ReactionDiffusionConfig(
         T=0.02, dt=4e-4, X=1.0, dx=1.0 / 256, control_sample_rate=4e-3,
         scheme="implicit", theta=theta, implicit_solver="pcr",
-        control_type=control_type,
+        control_type=control_type, pcr_elimination=elimination,
     )
     reward = TunedReward1D(int(round(cfg.T / cfg.dt)), -1e3, 3e2)
     xla, pls = _pair(ReactionDiffusionEnv, cfg, reward)
@@ -99,6 +103,22 @@ def test_reaction_diffusion_implicit_pcr_pallas_matches_xla(theta, control_type)
     # the kernel's folded rhs diagonal + identity-row pads reassociate a few
     # f32 ulps per solve vs the XLA pcr (where-guarded shifts, unfolded rhs)
     _compare(xla, pls, steps=4, obs_tol=2e-5)
+
+
+def test_reaction_diffusion_implicit_kernel_matches_thomas():
+    """Solver-independence check: the in-kernel-elimination PCR interval
+    kernel against the XLA THOMAS sweeps (a structurally different O(n)
+    algorithm) — pins the solve itself, not just the PCR formulation."""
+    kw = dict(T=0.02, dt=4e-4, X=1.0, dx=1.0 / 256,
+              control_sample_rate=4e-3, scheme="implicit", theta=0.5)
+    reward = TunedReward1D(50, -1e3, 3e2)
+    thomas_env = ReactionDiffusionEnv(
+        ReactionDiffusionConfig(**kw, implicit_solver="thomas",
+                                backend="xla"), reward)
+    pls = ReactionDiffusionEnv(
+        ReactionDiffusionConfig(**kw, implicit_solver="pcr",
+                                backend="pallas"), reward)
+    _compare(thomas_env, pls, steps=4, obs_tol=2e-5)
 
 
 def test_reaction_diffusion_implicit_terminal_interval():
