@@ -111,6 +111,63 @@ def bench_brain_tumor(num_envs, repeats, steps=None):
     return _measure(env, policy, num_envs, steps or 365, repeats)
 
 
+def bench_brain_tumor_xla(num_envs, repeats, steps=None):
+    """backend='xla' pin of the brain_tumor row (the fused day kernel is
+    the default on TPU) — the A/B for docs/PERFORMANCE.md."""
+    from pdecontrolgym_tpu.envs.brain_tumor import BrainTumorConfig, BrainTumorEnv
+    from pdecontrolgym_tpu.rewards.brain_tumor import BrainTumorReward
+
+    cfg = BrainTumorConfig(backend="xla")
+    env = BrainTumorEnv(cfg, BrainTumorReward())
+    policy = lambda obs, _key: jnp.full(obs.shape[:-1], 0.5)
+    return _measure(env, policy, num_envs, steps or 365, repeats)
+
+
+def bench_therapy(num_envs, repeats, steps=None):
+    """TherapyEnv whole-episode throughput: batched init (in-kernel Growth
+    fast-forward) + therapy days at a 1.8 Gy/day-equivalent dose fraction +
+    the Post-Therapy sweep, loop until every env ends. The unit is simulated
+    DAYS/s (sum of per-env simulation_days over wall time) — comparable to
+    the brain_tumor env-steps/s row — with episodes/s derivable from the
+    per-episode day count."""
+    from pdecontrolgym_tpu.envs.brain_tumor import (
+        BrainTumorConfig, BrainTumorEnv, TherapyEnv)
+    from pdecontrolgym_tpu.rewards.brain_tumor import BrainTumorReward
+
+    env = BrainTumorEnv(BrainTumorConfig(), BrainTumorReward())
+    tenv = TherapyEnv(env, t_benchmark=300)
+    dose = jnp.full((num_envs, 1), 0.03, jnp.float32)
+
+    @jax.jit
+    def episode(key):
+        keys = jax.random.split(key, num_envs)
+        state, _ = tenv.init_batch(keys)
+
+        def cond(c):
+            _, done = c
+            return ~done.all()
+
+        def body(c):
+            s, done = c
+            s, out = tenv.step_batch(s, dose)
+            return s, done | out.terminated | out.truncated
+
+        state, _ = jax.lax.while_loop(
+            cond, body, (state, jnp.zeros((num_envs,), bool))
+        )
+        return state.simulation_days.sum()
+
+    t0 = time.time()
+    days = int(np.asarray(episode(jax.random.key(0))))
+    compile_s = time.time() - t0
+    best = float("inf")
+    for i in range(repeats):
+        t0 = time.perf_counter()
+        days = int(np.asarray(episode(jax.random.key(i + 1))))
+        best = min(best, time.perf_counter() - t0)
+    return days / best, compile_s
+
+
 def _bench_ns(solver, n=None, step_backend="auto"):
     """NS benches. solver='matpow'/'jacobi' run the reference's 21x21 grid at
     2000-iteration pressure-parity semantics (matpow collapses the sweeps
@@ -163,6 +220,8 @@ def main():
     fns = {"traffic": bench_traffic, "neuron": bench_neuron,
            "neuron_fused": bench_neuron_fused,
            "brain_tumor": bench_brain_tumor,
+           "brain_tumor_xla": bench_brain_tumor_xla,
+           "therapy": bench_therapy,
            "ns_matpow": _bench_ns("matpow"), "ns_jacobi": _bench_ns("jacobi"),
            "ns_fast": _bench_ns("direct", n=64),
            "ns_fast_xla": _bench_ns("direct", n=64, step_backend="xla")}

@@ -54,6 +54,12 @@ class BrainTumorConfig:
     total_dosage: float = 61.2
     normalize: bool = False  # accepted but unused, like the reference step()
     dtype: Any = jnp.float32
+    # Batched-step backend. "auto": the fused Pallas day kernel
+    # (ops/brain_tumor_interval) when eligible — float32 + the stock
+    # BrainTumorReward (computed in-kernel) on a TPU-family backend; "xla":
+    # always vmap(step); "pallas": force the kernel (interpret on CPU;
+    # raises if ineligible). step() (unbatched) always uses the XLA path.
+    backend: str = "auto"
 
     @property
     def nt(self) -> int:
@@ -171,33 +177,17 @@ class BrainTumorEnv(FunctionalEnv):
         )
         return state, state.u
 
-    def step(self, state: BrainTumorState, action, key=None):
+    def _day_scalars(self, state, t, can, u_new, t1, has_t1, applied,
+                     control, treatment_radius):
+        """Everything after the field update: stage transitions, day
+        bookkeeping, flags, reward routing. Purely elementwise, so the SAME
+        code serves ``step`` (scalars) and the kernel-backed ``step_batch``
+        ((B,) vectors with a batched RewardCtx)."""
         c = self.config
-        nt = c.nt
-        can = state.time_index < nt - 1
-        t = jnp.where(can, state.time_index + 1, state.time_index)
-        curr = state.u
-
         is_growth = state.stage == GROWTH
         is_therapy = state.stage == THERAPY
         was_post = state.stage == POST_THERAPY
-
-        # NOT clipped to the [0,1] action box — the reference applies raw
-        # control (brain_tumor_env.py:158-159); the min() against remaining
-        # dosage is the only cap
-        control = jnp.asarray(action, c.dtype).reshape(())
-        applied = jnp.where(
-            is_therapy,
-            jnp.minimum(control * c.total_dosage, state.remaining_dosage),
-            c.dtype(0.0),
-        )
-        R, treatment_radius = self._radiation_field(curr, applied)
-        R = jnp.where(is_therapy, R, jnp.zeros_like(R))
-
-        u_new = jnp.where(can, self._fd_update(curr, R), curr)
         remaining = state.remaining_dosage - applied
-
-        t1, has_t1 = self.tumor_radius(u_new, c.t1_detection_threshold)
 
         # stage transitions (brain_tumor_env.py:147-176)
         to_therapy = jnp.logical_and(
@@ -215,7 +205,7 @@ class BrainTumorEnv(FunctionalEnv):
         therapy_days = jnp.where(to_post, t - growth_days, state.therapy_days)
         first_post_therapy_day = jnp.where(to_post, t + 1, state.first_post_therapy_day)
 
-        terminated = t >= nt - 1
+        terminated = t >= c.nt - 1
         truncated = jnp.logical_and(has_t1, t1 >= c.t1_death_radius)
         done = jnp.logical_or(terminated, truncated)
 
@@ -288,6 +278,111 @@ class BrainTumorEnv(FunctionalEnv):
             terminated=terminated,
             truncated=truncated,
             info={"stage": stage},
+        )
+
+    def step(self, state: BrainTumorState, action, key=None):
+        c = self.config
+        can = state.time_index < c.nt - 1
+        t = jnp.where(can, state.time_index + 1, state.time_index)
+        curr = state.u
+
+        is_therapy = state.stage == THERAPY
+        # NOT clipped to the [0,1] action box — the reference applies raw
+        # control (brain_tumor_env.py:158-159); the min() against remaining
+        # dosage is the only cap
+        control = jnp.asarray(action, c.dtype).reshape(())
+        applied = jnp.where(
+            is_therapy,
+            jnp.minimum(control * c.total_dosage, state.remaining_dosage),
+            c.dtype(0.0),
+        )
+        R, treatment_radius = self._radiation_field(curr, applied)
+        R = jnp.where(is_therapy, R, jnp.zeros_like(R))
+
+        u_new = jnp.where(can, self._fd_update(curr, R), curr)
+        t1, has_t1 = self.tumor_radius(u_new, c.t1_detection_threshold)
+        return self._day_scalars(
+            state, t, can, u_new, t1, has_t1, applied, control,
+            treatment_radius,
+        )
+
+    # -- fused batched path ---------------------------------------------------
+
+    def _kernel_eligible(self) -> bool:
+        """``backend='pallas'`` ONLY: every Pallas variant of this family
+        measured SLOWER than ``vmap(step)`` on the real chip (the recorded
+        negative result in ``ops/brain_tumor_interval``'s docstring), so
+        "auto" never picks the kernel here — it is retained for its parity
+        test and the record. Needs float32 + the stock BrainTumorReward
+        (``_day_scalars`` builds one batched RewardCtx, valid only for
+        elementwise rewards)."""
+        from pdecontrolgym_tpu.rewards.brain_tumor import BrainTumorReward
+
+        c = self.config
+        if getattr(c, "backend", "auto") != "pallas":
+            return False
+        eligible = (
+            jnp.dtype(c.dtype) == jnp.float32
+            and type(self.reward) is BrainTumorReward
+        )
+        if not eligible:
+            raise ValueError(
+                "backend='pallas' needs float32 and the stock "
+                "BrainTumorReward"
+            )
+        return True
+
+    def _get_field_fn(self):
+        fn = getattr(self, "_field_fn", None)
+        if fn is None:
+            if not self._kernel_eligible():
+                self._field_fn = False
+                return False
+            from pdecontrolgym_tpu.ops.brain_tumor_interval import (
+                make_brain_tumor_field_fn,
+            )
+
+            fn = make_brain_tumor_field_fn(
+                self, interpret=jax.default_backend() == "cpu"
+            )
+            self._field_fn = fn
+        return fn
+
+    def observe_batch(self, state: BrainTumorState):
+        """Observation is the density row itself — pure function of state,
+        so batched rollouts may carry state only (parallel/rollout)."""
+        return state.u
+
+    def step_batch(self, state: BrainTumorState, actions):
+        """Batched step: the minimal FIELD kernel + the shared elementwise
+        bookkeeping when eligible, else ``vmap(step)``.
+
+        Design note (round 5, measured): a whole-day fused kernel does NOT
+        pay here — XLA already fuses the day body well, and marshalling the
+        11 per-env bookkeeping scalars through a kernel (transposes in the
+        1D-style layout: 59M; lane-granular packed columns: 18M) costs more
+        than it saves vs vmap's 97M env-steps/s at 4096 envs. What does pay
+        is fusing only the FIELD work (T2 scan → BED field → FD update →
+        T1 scan) into one aliased HBM pass (ops/brain_tumor_interval.
+        make_brain_tumor_field_fn) and running the stage machine in XLA on
+        (B,) vectors via the same ``_day_scalars`` as ``step``."""
+        fn = self._get_field_fn()
+        if fn is False:
+            return jax.vmap(lambda s, a: self.step(s, a))(state, actions)
+        c = self.config
+        can = state.time_index < c.nt - 1
+        t = jnp.where(can, state.time_index + 1, state.time_index)
+        is_therapy = state.stage == THERAPY
+        control = jnp.asarray(actions, c.dtype).reshape(state.u.shape[0])
+        applied = jnp.where(
+            is_therapy,
+            jnp.minimum(control * c.total_dosage, state.remaining_dosage),
+            c.dtype(0.0),
+        )
+        u_new, treatment_radius, t1, has_t1 = fn(state.u, applied, can)
+        return self._day_scalars(
+            state, t, can, u_new, t1, has_t1, applied, control,
+            treatment_radius,
         )
 
 
@@ -369,6 +464,31 @@ class TherapyEnv(FunctionalEnv):
         )
         return sel(ff_state, one_state), sel(ff_out, one_out)
 
+    # -- batched protocol -----------------------------------------------------
+    # vmap-based: an in-kernel while-loop fast-forward was built and
+    # measured in round 5 — it failed to compile in Mosaic on the real chip
+    # and its day body was slower than XLA's anyway (the negative result
+    # recorded in ops/brain_tumor_interval's docstring). ``vmap`` over the
+    # XLA ``lax.while_loop`` already gives masked-lockstep fast-forward
+    # semantics; at 4096 envs the batched wrapper measures 52M simulated
+    # days/s end-to-end (bench_families.py --families therapy).
+
+    # TherapyEnv init fast-forwards the whole Growth stage — always gate
+    # batched autoresets behind "any env actually ended" regardless of the
+    # state-size heuristic (parallel/rollout honors this attr)
+    autoreset_gate = True
+
+    def observe_batch(self, state):
+        return state.u
+
+    def init_batch(self, keys):
+        return jax.vmap(lambda k: TherapyEnv.init(self, k))(keys)
+
+    def step_batch(self, state, actions):
+        return jax.vmap(
+            lambda s, a: TherapyEnv.step(self, s, a)
+        )(state, actions)
+
     def benchmark(self, key):
         """Zero-treatment episode → baseline survival ``t_benchmark``
         (``brain_tumor_env.py:480-505``)."""
@@ -401,4 +521,13 @@ class DoseTherapyEnv(TherapyEnv):
     def step(self, state, action, key=None):
         dose = jnp.clip((jnp.asarray(action) + 1.0) / 2.0, 0.0, 1.0)
         state, out = super().step(state, dose, key)
+        return state, out.replace(obs=out.obs / self.config.k)
+
+    def init_batch(self, keys):
+        state, obs = super().init_batch(keys)
+        return state, obs / self.config.k
+
+    def step_batch(self, state, action):
+        dose = jnp.clip((jnp.asarray(action) + 1.0) / 2.0, 0.0, 1.0)
+        state, out = super().step_batch(state, dose)
         return state, out.replace(obs=out.obs / self.config.k)

@@ -33,10 +33,16 @@ def env_noise_fn(env):
 
 
 def batch_init(env, num_envs: int):
-    """Returns ``init(key) -> (state, obs)`` for a batch of envs."""
+    """Returns ``init(key) -> (state, obs)`` for a batch of envs.
+
+    Prefers the env's fused ``init_batch(keys)`` (e.g. TherapyEnv's
+    in-kernel Growth fast-forward) over per-env vmap."""
+    init_batch = getattr(env, "init_batch", None)
 
     def init(key):
         keys = jax.random.split(key, num_envs)
+        if init_batch is not None:
+            return init_batch(keys)
         return jax.vmap(env.init)(keys)
 
     return init
@@ -64,9 +70,15 @@ def batch_step(env, autoreset: bool = True):
         leaves = jax.tree_util.tree_leaves(state)
         n = leaves[0].shape[0]
 
+        init_batch = getattr(env, "init_batch", None)
+
         def do_reset(operand):
             next_state, out, key = operand
-            fresh_state, fresh_obs = jax.vmap(env.init)(jax.random.split(key, n))
+            keys = jax.random.split(key, n)
+            fresh_state, fresh_obs = (
+                init_batch(keys) if init_batch is not None
+                else jax.vmap(env.init)(keys)
+            )
 
             def sel(a, b):
                 d = done.reshape(done.shape + (1,) * (a.ndim - done.ndim))
@@ -85,14 +97,20 @@ def batch_step(env, autoreset: bool = True):
         #   110M; the cond in the scan body blocks fusion and forces the
         #   whole carry to materialize around the branch).
         # Shapes are static at trace time, so this picks one path per env.
+        # An env whose IC sampler is itself expensive (e.g. brain tumor's
+        # exp() field) can override the size heuristic by declaring
+        # ``autoreset_gate = True`` (force the cond) or ``False``.
         def _nbytes(l):
             try:
                 return l.size * l.dtype.itemsize
             except Exception:  # extended dtypes (PRNG keys) lack itemsize
                 return l.size * 4
 
-        per_env_bytes = sum(_nbytes(l) for l in leaves) // max(n, 1)
-        if per_env_bytes < 16384:
+        gate = getattr(env, "autoreset_gate", None)
+        if gate is None:
+            per_env_bytes = sum(_nbytes(l) for l in leaves) // max(n, 1)
+            gate = per_env_bytes >= 16384
+        if not gate:
             return do_reset((next_state, out, key))
 
         def no_reset(operand):
@@ -140,6 +158,25 @@ def rollout(
         )
 
     step = batch_step(env, autoreset)
+    keys = jax.random.split(key, num_steps)
+
+    # An env whose observation is a pure function of state (no sensing
+    # noise) can declare ``observe_batch(state)``: the scan then carries
+    # ONLY the state and recomputes obs in-body — the carried obs select
+    # (and its HBM round trip) drops out, and XLA dead-codes the recompute
+    # whenever the policy ignores observation values. Correct under
+    # autoreset too: the reset convention replaces state and obs together,
+    # so observe(reset state) IS the fresh obs.
+    observe = getattr(env, "observe_batch", None)
+    if observe is not None:
+        def body(state, step_key):
+            act_key, env_key = jax.random.split(step_key)
+            actions = policy_fn(observe(state), act_key)
+            state, out = step(state, actions, env_key)
+            return state, out
+
+        state, outs = jax.lax.scan(body, state, keys)
+        return (state, observe(state)), outs
 
     def body(carry, step_key):
         state, obs = carry
@@ -148,7 +185,6 @@ def rollout(
         state, out = step(state, actions, env_key)
         return (state, out.obs), out
 
-    keys = jax.random.split(key, num_steps)
     (state, obs), outs = jax.lax.scan(body, (state, obs), keys)
     return (state, obs), outs
 

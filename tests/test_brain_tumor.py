@@ -154,3 +154,111 @@ def test_gym_adapter_brain_tumor():
     while not (term or trunc):
         obs, rew, term, trunc, info = wrap.step(1.8 / 61.2)
     assert isinstance(rew, float)
+
+
+# -- fused Pallas kernels (interpret mode on CPU) -----------------------------
+
+# small domain so the interpret-mode while-loops stay fast: detection at
+# 5 mm, death at 20 mm, ~60-day episodes
+FAST = dict(T=80.0, dt=1.0, X=60.0, dx=1.0, t1_detection_radius=5.0,
+            t1_death_radius=20.0, total_dosage=30.0)
+
+
+def _fast_pair(**kw):
+    from pdecontrolgym_tpu.envs.brain_tumor import BrainTumorConfig
+
+    xla = BrainTumorEnv(
+        BrainTumorConfig(dtype=jnp.float32, backend="xla", **FAST, **kw),
+        BrainTumorReward())
+    pls = BrainTumorEnv(
+        BrainTumorConfig(dtype=jnp.float32, backend="pallas", **FAST, **kw),
+        BrainTumorReward())
+    return xla, pls
+
+
+def _fast_ic_batch(env, B):
+    xs = jnp.linspace(0.0, env.config.X, env.config.nx)
+    # per-env widths so envs cross stages on different days
+    widths = jnp.linspace(0.2, 0.35, B)[:, None]
+    u0 = 0.8 * env.config.k * jnp.exp(-widths * xs[None, :] ** 2)
+    states, obs = jax.vmap(lambda u: env.init_from(u, 40))(u0)
+    return states, obs
+
+
+def _assert_state_close(a, b):
+    for name in a.__dataclass_fields__:
+        av, bv = getattr(a, name), getattr(b, name)
+        if av is None:
+            assert bv is None
+            continue
+        np.testing.assert_allclose(
+            np.asarray(av), np.asarray(bv), rtol=1e-6, atol=1e-3,
+            err_msg=name,
+        )
+
+
+def test_fused_day_kernel_matches_vmap_step():
+    """The field-kernel step_batch (T2 scan + BED + FD update + T1 scan in
+    one aliased pass, stage machine shared with step()) vs vmap(step)
+    through a whole staged episode (growth -> therapy -> post/death), all
+    state fields + rewards + flags, from per-env ICs that desynchronize
+    the stage machine."""
+    xla, pls = _fast_pair()
+    assert pls._get_field_fn() is not False
+    sx, _ = _fast_ic_batch(xla, 4)
+    sp, _ = _fast_ic_batch(pls, 4)
+    dose = jnp.asarray([0.05, 0.2, 0.5, 1.0], jnp.float32)
+    for day in range(60):
+        sx, ox = xla.step_batch(sx, dose)
+        sp, op = pls.step_batch(sp, dose)
+        _assert_state_close(sp, sx)
+        np.testing.assert_allclose(np.asarray(op.reward),
+                                   np.asarray(ox.reward),
+                                   rtol=1e-5, atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(op.terminated),
+                                      np.asarray(ox.terminated))
+        np.testing.assert_array_equal(np.asarray(op.truncated),
+                                      np.asarray(ox.truncated))
+
+
+def test_fused_kernel_gated_on_stock_reward():
+    from pdecontrolgym_tpu.core.base import RewardCtx
+    from pdecontrolgym_tpu.envs.brain_tumor import BrainTumorConfig
+
+    class CustomReward(BrainTumorReward):
+        def __call__(self, ctx: RewardCtx):
+            return -jnp.abs(ctx.u).sum()
+
+    env = BrainTumorEnv(
+        BrainTumorConfig(dtype=jnp.float32, backend="pallas", **FAST),
+        CustomReward())
+    with pytest.raises(ValueError, match="stock"):
+        env._kernel_eligible()
+
+
+def test_therapy_env_batched_matches_vmap():
+    """TherapyEnv init_batch/step_batch (in-kernel fast-forward while-loops)
+    vs the vmapped XLA wrapper: Growth hidden in init, Post-Therapy swept
+    in step, per-env desynchronized stages."""
+    xla, pls = _fast_pair()
+    tx = TherapyEnv(xla, t_benchmark=40)
+    tp = TherapyEnv(pls, t_benchmark=40)
+    B = 4
+    keys = jax.random.split(jax.random.key(0), B)
+    sx, ox = jax.vmap(tx.init)(keys)
+    sp, op = tp.init_batch(keys)
+    _assert_state_close(sp, sx)
+    np.testing.assert_allclose(np.asarray(op), np.asarray(ox),
+                               rtol=1e-6, atol=1e-3)
+    dose = jnp.asarray([0.1, 0.4, 0.8, 1.0], jnp.float32)
+    for day in range(25):
+        sx, ox = jax.vmap(lambda s, a: tx.step(s, a))(sx, dose)
+        sp, op = tp.step_batch(sp, dose)
+        _assert_state_close(sp, sx)
+        np.testing.assert_allclose(np.asarray(op.reward),
+                                   np.asarray(ox.reward),
+                                   rtol=1e-5, atol=1e-3)
+        np.testing.assert_array_equal(np.asarray(op.terminated),
+                                      np.asarray(ox.terminated))
+        np.testing.assert_array_equal(np.asarray(op.truncated),
+                                      np.asarray(ox.truncated))
