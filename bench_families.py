@@ -101,6 +101,22 @@ def bench_neuron_fused(num_envs, repeats, steps=None):
     return rate * K, compile_s
 
 
+def bench_neuron_fused_reward(num_envs, repeats, steps=None):
+    """The fused K-step kernel WITH the stock NormReward (round 5 lifts the
+    reward-free restriction: the per-dt L2 norm ring is computed in-kernel)
+    — the qualified counterpart of the reward-free `neuron_fused` row."""
+    from pdecontrolgym_tpu.envs.neuron import NeuronConfig, NeuronEnv
+    from pdecontrolgym_tpu.rewards.norm import NormReward
+
+    K = 100
+    cfg = NeuronConfig(dtype=jnp.float32, steps_per_call=K)
+    env = NeuronEnv(cfg, reward=NormReward(nt=cfg.nt, norm_coeff=10.0))
+    policy = lambda obs, _key: jnp.zeros(obs.shape[:-1])
+    calls = max((steps or 1000) // K, 1)
+    rate, compile_s = _measure(env, policy, num_envs, calls, repeats)
+    return rate * K, compile_s
+
+
 def bench_brain_tumor(num_envs, repeats, steps=None):
     from pdecontrolgym_tpu.envs.brain_tumor import BrainTumorConfig, BrainTumorEnv
     from pdecontrolgym_tpu.rewards.brain_tumor import BrainTumorReward
@@ -219,6 +235,7 @@ def main():
 
     fns = {"traffic": bench_traffic, "neuron": bench_neuron,
            "neuron_fused": bench_neuron_fused,
+           "neuron_fused_reward": bench_neuron_fused_reward,
            "brain_tumor": bench_brain_tumor,
            "brain_tumor_xla": bench_brain_tumor_xla,
            "therapy": bench_therapy,

@@ -120,15 +120,25 @@ class NeuronEnv(FunctionalEnv):
         self.config = c
         self.reward = reward
         self.noise_fn = noise_fn
-        if int(getattr(c, "steps_per_call", 1)) > 1 and (
-            reward is not None or c.limit_pde_state_size
-        ):
+        if int(getattr(c, "steps_per_call", 1)) > 1 and c.limit_pde_state_size:
             raise ValueError(
-                "steps_per_call > 1 requires reward=None and "
-                "limit_pde_state_size=False: rewards and blow-up truncation "
-                "are per-dt-step semantics that a fused K-step block would "
-                "silently coarsen"
+                "steps_per_call > 1 requires limit_pde_state_size=False: "
+                "blow-up truncation is a per-dt-step semantic that a fused "
+                "K-step block would silently coarsen"
             )
+        # K>1 + reward (round 5): the reward is evaluated ONCE per call on
+        # the post-block state, with a trailing per-dt norm window in the
+        # reward's declared ord (ring_requirement/ring_ord, as the 1D
+        # families' control intervals do) and prev_u for differential
+        # rewards. The window must fit in one call.
+        K0 = int(getattr(c, "steps_per_call", 1))
+        if K0 > 1 and reward is not None:
+            if K0 < int(getattr(reward, "ring_requirement", 1)):
+                raise ValueError(
+                    "steps_per_call must cover the reward's ring_requirement"
+                    f" ({reward.ring_requirement}) so the trailing norm "
+                    "window fits in one call"
+                )
 
         scale, length = c.scale_and_length
         self.scale = scale
@@ -345,7 +355,25 @@ class NeuronEnv(FunctionalEnv):
         c = self.config
         K = int(getattr(c, "steps_per_call", 1))
         u, Z, L, t = state.u, state.Z, state.L, state.time_index
-        if K > 1:
+        track = K > 1 and self.reward is not None
+        prev_u = ring = None
+        if track:
+            W = int(getattr(self.reward, "ring_requirement", 1))
+            ring_ord = str(getattr(self.reward, "ring_ord", "2"))
+            nrm = self._ring_norm_fn(ring_ord)
+            ring = jnp.zeros((W,), c.dtype)
+
+            def body(_, carry):
+                uu, zz, ll, tt, rg = carry
+                uu, zz, ll, tt = self._advance_once(uu, zz, ll, tt)[:4]
+                rg = jnp.concatenate([rg[1:], nrm(uu)[None]])
+                return uu, zz, ll, tt, rg
+
+            u, Z, L, t, ring = jax.lax.fori_loop(
+                0, K - 1, body, (u, Z, L, t, ring)
+            )
+            prev_u = u  # the row before the final dt-step
+        elif K > 1:
             def body(_, carry):
                 uu, zz, ll, tt = carry
                 uu, zz, ll, tt = self._advance_once(uu, zz, ll, tt)[:4]
@@ -358,7 +386,14 @@ class NeuronEnv(FunctionalEnv):
                                 time_index=t_stored)
 
         reward = jnp.zeros((), c.dtype)
-        if self.reward is not None:
+        if track:
+            ring = jnp.concatenate([ring[1:], nrm(u_new)[None]])
+            reward = self.reward(self._interval_ctx(
+                u_new, t_raw, terminated, truncated, tip_val, ring,
+                ring_ord, prev_u,
+                extras={"Z": Z_new, "L": L_new, "control": control},
+            ))
+        elif self.reward is not None:
             ctx = RewardCtx(
                 u=u_new,
                 time_index=t_raw,
@@ -383,28 +418,72 @@ class NeuronEnv(FunctionalEnv):
 
     # -- fused K-step Pallas path ---------------------------------------------
 
+    def _ring_norm_fn(self, ring_ord: str):
+        """Per-row norm in a reward's declared ord for the trailing window."""
+        if ring_ord == "1":
+            return lambda x: jnp.sum(jnp.abs(x))
+        if ring_ord == "inf":
+            return lambda x: jnp.max(jnp.abs(x))
+        return lambda x: jnp.sqrt(jnp.sum(jnp.square(x)))
+
+    def _interval_ctx(self, u_new, t_raw, terminated, truncated, tip_val,
+                      ring, ring_ord, prev_u, extras):
+        """RewardCtx for the once-per-K-step-call reward contract: the
+        trailing per-dt norm window rides ``norms`` (L2) or ``aux_norms``
+        (the reward's declared L1/L∞ ord), prev_u serves differential
+        rewards. Shared by the XLA loop and the fused-kernel path so the
+        two cannot drift."""
+        c = self.config
+        W = ring.shape[-1]
+        extras = dict(extras)
+        if prev_u is not None:
+            extras["prev_u"] = prev_u
+        return RewardCtx(
+            u=u_new,
+            time_index=t_raw,
+            executed=jnp.asarray(c.steps_per_call, jnp.int32),
+            terminated=terminated,
+            truncated=truncated,
+            action=tip_val,
+            norms=ring if ring_ord == "2" else jnp.zeros((1,), c.dtype),
+            bsum=jnp.zeros((), c.dtype),
+            ring=W,
+            extras=extras,
+            aux_norms=ring if ring_ord != "2" else None,
+        )
+
     def _kernel_eligible(self) -> bool:
-        """The fused K-step kernel (ops/neuron_interval) covers exactly the
-        default contract: float32 (Mosaic has no f64), no reward / sensing
-        noise (per-dt-step quantities), no per-dt truncation, and a
-        TPU-family backend (interpret-mode CPU when forced)."""
+        """The fused K-step kernel (ops/neuron_interval) covers: float32
+        (Mosaic has no f64), no sensing noise, no per-dt truncation, and a
+        TPU-family backend (interpret-mode CPU when forced). Rewards
+        (round 5): reward=None at any K, or the stock NormReward at K>1 —
+        the kernel evaluates the per-dt norm ring in the reward's ord
+        in-kernel; other rewards keep the vmap path (they may read per-dt
+        extras like 'control' that the K-step block does not surface)."""
         import jax as _jax
+
+        from pdecontrolgym_tpu.rewards.norm import NormReward
 
         c = self.config
         backend = getattr(c, "backend", "auto")
         if backend == "xla":
             return False
+        K = int(getattr(c, "steps_per_call", 1))
+        reward_ok = self.reward is None or (
+            K > 1 and type(self.reward) is NormReward
+        )
         eligible = (
             jnp.dtype(c.dtype) == jnp.float32
-            and self.reward is None
+            and reward_ok
             and self.noise_fn is None
             and not c.limit_pde_state_size
         )
         if backend == "pallas":
             if not eligible:
                 raise ValueError(
-                    "backend='pallas' needs float32, reward=None, "
-                    "noise_fn=None and limit_pde_state_size=False"
+                    "backend='pallas' needs float32, noise_fn=None, "
+                    "limit_pde_state_size=False and reward=None (any K) "
+                    "or the stock NormReward (K>1)"
                 )
             return True
         return eligible and _jax.default_backend() in ("tpu", "axon")
@@ -421,10 +500,20 @@ class NeuronEnv(FunctionalEnv):
                 make_neuron_interval_fn,
             )
 
+            kw = {}
+            if self.reward is not None:
+                kw = dict(
+                    window=int(getattr(self.reward, "ring_requirement", 1)),
+                    ring_ord=str(getattr(self.reward, "ring_ord", "2")),
+                    need_prev=bool(
+                        getattr(self.reward, "needs_prev_row", False)
+                    ),
+                )
             fn = make_neuron_interval_fn(
                 self,
                 steps=int(getattr(self.config, "steps_per_call", 1)),
                 interpret=_jax.default_backend() == "cpu",
+                **kw,
             )
             self._interval_fn = fn
         return fn
@@ -438,13 +527,41 @@ class NeuronEnv(FunctionalEnv):
         fn = self._get_interval_fn()
         if fn is False:
             return jax.vmap(lambda s, a: self.step(s, a))(state, actions)
-        u, Z, L, t, done = fn(state.u, state.Z, state.L, state.time_index)
+        outs = fn(state.u, state.Z, state.L, state.time_index)
+        u, Z, L, t, done = outs[:5]
         new_state = NeuronState(u=u, Z=Z, L=L, time_index=t)
         obs = jax.vmap(lambda uu, ll: self._observe(uu, ll, None))(u, L)
-        zero = jnp.zeros((u.shape[0],), self.config.dtype)
+        reward = jnp.zeros((u.shape[0],), self.config.dtype)
+        if self.reward is not None:
+            # kernel-computed trailing norm ring (+ prev_u for differential
+            # rewards); same ctx builder as the XLA K-step path
+            # (_interval_ctx) so the two cannot drift. t is the post-quirk
+            # stored time; recover the raw accumulator for the ctx (the
+            # reset fires only at t >= nt, unreachable in any real config —
+            # module docstring quirk note).
+            ring = outs[5]
+            prev_u = outs[6] if len(outs) > 6 else None
+            ring_ord = str(getattr(self.reward, "ring_ord", "2"))
+            t_raw = jnp.where(done, float(self.config.nt), t)
+            tip_val = self.H[0] * Z[:, 0] + self.H[1] * Z[:, 1]  # u[L]
+            no_trunc = jnp.zeros((), jnp.bool_)
+
+            def one_ctx(uu, tr, dn, tv, rg, zz, ll, pu=None):
+                return self._interval_ctx(
+                    uu, tr, dn, no_trunc, tv, rg, ring_ord, pu,
+                    extras={"Z": zz, "L": ll},
+                )
+
+            if prev_u is None:
+                ctx = jax.vmap(one_ctx)(u, t_raw, done, tip_val, ring, Z, L)
+            else:
+                ctx = jax.vmap(one_ctx)(
+                    u, t_raw, done, tip_val, ring, Z, L, prev_u
+                )
+            reward = jax.vmap(self.reward)(ctx)
         return new_state, StepOut(
             obs=obs,
-            reward=zero,
+            reward=reward,
             terminated=done,
             truncated=jnp.zeros_like(done),
             info={"L": L, "Z": Z},

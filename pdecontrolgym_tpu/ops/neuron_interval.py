@@ -41,16 +41,29 @@ def make_neuron_interval_fn(
     env,
     *,
     steps: int,
+    window: int = 0,
+    ring_ord: str = "2",
+    need_prev: bool = False,
     tile_b: int = 128,
     interpret: bool = False,
 ):
-    """Build ``fn(u, Z, L, t) -> (u', Z', L', t', terminated)`` advancing
-    ``steps`` dt-steps for a ``(B, …)`` batch of neuron envs on VMEM tiles.
-    ``env`` is the constructed NeuronEnv (its gain tables are baked in as
-    kernel constants)."""
+    """Build ``fn(u, Z, L, t) -> (u', Z', L', t', terminated[, norms, prev])``
+    advancing ``steps`` dt-steps for a ``(B, …)`` batch of neuron envs on
+    VMEM tiles. ``env`` is the constructed NeuronEnv (its gain tables are
+    baked in as kernel constants).
+
+    Reward support (round 5 — lifts the round-4 reward-free restriction):
+    with ``window = W > 0`` the kernel also evaluates the per-dt norm of
+    the updated row in ``ring_ord`` ("1"/"2"/"inf") into a W-slot rotating
+    ring (slot ``j % W``) — the trailing window NormReward's t-horizon
+    reads — and with ``need_prev`` stores the row BEFORE the final dt-step
+    (NormReward differential's ``prev_u``). The env unrotates the ring and
+    assembles the RewardCtx (envs/neuron.py ``step_batch``)."""
     c = env.config
     M = env.M
     Mp = _pad8(M)
+    W = int(window)
+    Wp = _pad8(W) if W else 0
     dt, dx = float(c.dt), float(c.dx)
     D, a, g = float(c.D), float(c.a), float(c.g)
     LSubS, scale = float(c.LSubS), float(env.scale)
@@ -78,15 +91,22 @@ def make_neuron_interval_fn(
     pB_c, p0_c, p1_c = col(pB_host), col(p_host[:, 0]), col(p_host[:, 1])
 
     def kernel(u_ref, z_ref, l_ref, t_ref, pB_ref, p0_ref, p1_ref,
-               uo_ref, zo_ref, lo_ref, to_ref, done_ref):
+               uo_ref, zo_ref, lo_ref, to_ref, done_ref, *extra_refs):
+        norms_ref = extra_refs[0] if W else None
+        prev_ref = extra_refs[-1] if need_prev else None
         row = jax.lax.broadcasted_iota(jnp.int32, (Mp, u_ref.shape[1]), 0)
         rowf = (row - 1).astype(jnp.float32)
         pB = pB_ref[:]   # (Mp, 1) — broadcasts across lanes
         p0 = p0_ref[:]
         p1 = p1_ref[:]
 
-        def body(_, carry):
+        def body(j, carry):
             u, Z0, Z1, L, t = carry
+            if need_prev:
+                # row BEFORE the final dt-step = NormReward's prev_u
+                @pl.when(j == K - 1)
+                def _():
+                    prev_ref[:] = u
             t = t + dt
             lt = Z1 + LSubS                      # (1, tb)
             dxreal = dx * lt
@@ -144,6 +164,19 @@ def make_neuron_interval_fn(
             u_new = jnp.where(row == 0, u0n, u_new)
             u_new = jnp.where(row == Ln, tip_val, u_new)
 
+            if W:
+                # per-dt norm of the updated row into the rotating ring
+                # (pads are kept zero, so whole-column reductions are exact)
+                if ring_ord == "1":
+                    nv = jnp.sum(jnp.abs(u_new), axis=0, keepdims=True)
+                elif ring_ord == "inf":
+                    nv = jnp.max(jnp.abs(u_new), axis=0, keepdims=True)
+                else:
+                    nv = jnp.sqrt(
+                        jnp.sum(u_new * u_new, axis=0, keepdims=True)
+                    )
+                norms_ref[pl.ds(j % W, 1), :] = nv
+
             # terminate-resets-time quirk per dt-step (:276, :347)
             t = jnp.where(t >= nt, 0.0, t)
             return u_new, Z0n, Z1n, Ln, t
@@ -184,31 +217,52 @@ def make_neuron_interval_fn(
                                        memory_space=pltpu.VMEM)
         cspec = pl.BlockSpec((Mp, 1), lambda i: (0, 0),
                              memory_space=pltpu.VMEM)
-        u2, z2, l2, t2, done = pl.pallas_call(
+        out_specs = [colspec, zspec, rowspec(), rowspec(), rowspec()]
+        out_shapes = [
+            jax.ShapeDtypeStruct((Mp, Bp), jnp.float32),
+            jax.ShapeDtypeStruct((8, Bp), jnp.float32),
+            jax.ShapeDtypeStruct((1, Bp), jnp.int32),
+            jax.ShapeDtypeStruct((1, Bp), jnp.float32),
+            jax.ShapeDtypeStruct((1, Bp), jnp.int32),
+        ]
+        if W:
+            out_specs.append(pl.BlockSpec((Wp, tb), lambda i: (0, i),
+                                          memory_space=pltpu.VMEM))
+            out_shapes.append(jax.ShapeDtypeStruct((Wp, Bp), jnp.float32))
+        if need_prev:
+            out_specs.append(colspec)
+            out_shapes.append(jax.ShapeDtypeStruct((Mp, Bp), jnp.float32))
+        outs = pl.pallas_call(
             kernel,
             grid=(Bp // tb,),
             in_specs=[colspec, zspec, rowspec(), rowspec(),
                       cspec, cspec, cspec],
-            out_specs=[colspec, zspec, rowspec(), rowspec(), rowspec()],
-            out_shape=[
-                jax.ShapeDtypeStruct((Mp, Bp), jnp.float32),
-                jax.ShapeDtypeStruct((8, Bp), jnp.float32),
-                jax.ShapeDtypeStruct((1, Bp), jnp.int32),
-                jax.ShapeDtypeStruct((1, Bp), jnp.float32),
-                jax.ShapeDtypeStruct((1, Bp), jnp.int32),
-            ],
+            out_specs=out_specs,
+            out_shape=out_shapes,
             compiler_params=None if interpret else pltpu.CompilerParams(
                 vmem_limit_bytes=128 * 1024 * 1024,
                 dimension_semantics=("parallel",),
             ),
             interpret=interpret,
         )(ut, zt, lt_, tt, pB_c, p0_c, p1_c)
-        return (
+        u2, z2, l2, t2, done = outs[:5]
+        result = [
             u2[:M, :B].T,
             z2[:2, :B].T,
             l2[0, :B],
             t2[0, :B],
             done[0, :B].astype(jnp.bool_),
-        )
+        ]
+        pos = 5
+        if W:
+            ring = outs[pos][:W, :B].T  # (B, W), slot s = dt-step j%W==s
+            # unrotate to chronological (oldest..newest): lag l lives at
+            # slot (K-1-l) % W — a static gather, W is tiny
+            order = [(K - 1 - (W - 1 - i)) % W for i in range(W)]
+            result.append(ring[:, jnp.asarray(order)])
+            pos += 1
+        if need_prev:
+            result.append(outs[pos][:M, :B].T)
+        return tuple(result)
 
     return fn

@@ -6,6 +6,7 @@ The reference ``NeuronPDE1D.step()`` crashes on a latent AttributeError
 """
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -188,19 +189,63 @@ def test_fused_kstep_kernel_matches_xla():
                                       np.asarray(ox.terminated))
 
 
-def test_steps_per_call_gates_reward_and_truncation():
+def test_steps_per_call_gates_truncation_and_window():
     import jax.numpy as jnp
     import pytest
 
     from pdecontrolgym_tpu.envs.neuron import NeuronConfig, NeuronEnv
-    from pdecontrolgym_tpu.rewards.base import BaseReward
+    from pdecontrolgym_tpu.rewards.norm import NormReward
 
-    class R(BaseReward):
-        def __call__(self, ctx):
-            return ctx.u.sum()
-
-    with pytest.raises(ValueError, match="steps_per_call"):
-        NeuronEnv(NeuronConfig(dtype=jnp.float32, steps_per_call=4), reward=R())
     with pytest.raises(ValueError, match="steps_per_call"):
         NeuronEnv(NeuronConfig(dtype=jnp.float32, steps_per_call=4,
                                limit_pde_state_size=True))
+    # the reward's trailing window must fit in one K-step call
+    with pytest.raises(ValueError, match="ring_requirement"):
+        NeuronEnv(
+            NeuronConfig(dtype=jnp.float32, steps_per_call=4),
+            reward=NormReward(nt=100, horizon="t-horizon",
+                              t_horizon_length=8),
+        )
+
+
+@pytest.mark.parametrize("horizon,norm", [
+    ("temporal", "2"),
+    ("differential", "2"),
+    ("t-horizon", "1"),     # exercises the aux (L1) ring
+    ("t-horizon", "inf"),
+])
+def test_fused_kstep_kernel_with_norm_reward(horizon, norm):
+    """Round-5 lift of the kernel's reward-free restriction: with the stock
+    NormReward at K>1 the kernel computes the per-dt norm ring (in the
+    reward's ord) and prev_u in-kernel; rewards must match the XLA K-step
+    loop, which shares the same once-per-call RewardCtx contract."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pdecontrolgym_tpu.envs.neuron import NeuronConfig, NeuronEnv
+    from pdecontrolgym_tpu.rewards.norm import NormReward
+
+    K = 7
+    mk = lambda backend: NeuronEnv(
+        NeuronConfig(dtype=jnp.float32, steps_per_call=K, backend=backend),
+        reward=NormReward(nt=1000, horizon=horizon, norm=norm,
+                          t_horizon_length=5, norm_coeff=10.0),
+    )
+    ep, ex = mk("pallas"), mk("xla")
+    assert ep._get_interval_fn() is not False
+    B = 4
+    s0, _ = ep.init()
+    tile = lambda x: jnp.broadcast_to(x, (B,) + x.shape)
+    state = jax.tree_util.tree_map(tile, s0)
+    state = state.replace(u=state.u + 0.001 * jax.random.normal(
+        jax.random.PRNGKey(1), state.u.shape, jnp.float32))
+    sp = sx = state
+    for _ in range(3):
+        sp, op = ep.step_batch(sp, None)
+        sx, ox = ex.step_batch(sx, None)
+        np.testing.assert_allclose(np.asarray(op.reward),
+                                   np.asarray(ox.reward),
+                                   rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(sp.u), np.asarray(sx.u),
+                               rtol=1e-5, atol=1e-7)
