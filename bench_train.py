@@ -1,15 +1,20 @@
-"""Training throughput: PPO train_step with the learner IN the loop.
+"""Training throughput: PPO or SAC train_step with the learner IN the loop.
 
 Rollout-only numbers (bench.py) bound the env engine; this is the number a
-user of the full stack gets — each iteration is one jitted program containing
-the policy rollout (num_steps agent actions x 4096 envs, each action
-zero-order-held for `sample_rate` PDE sub-steps), GAE, and
-epochs x minibatches clipped-surrogate updates. Timing scans ``--inner``
-train iterations inside ONE dispatch (fresh data each — the runner carry
-advances), amortizing the tunnel's ~30 ms intercept like bench.py.
+user of the full stack gets. PPO (default): each iteration is one jitted
+program containing the policy rollout (num_steps agent actions x 4096 envs,
+each action zero-order-held for `sample_rate` PDE sub-steps), GAE, and
+epochs x minibatches clipped-surrogate updates. ``--algo sac``: each
+iteration collects steps_per_iter env steps into the device-resident
+circular replay ring and runs updates_per_iter twin-critic/actor/alpha
+updates on sampled batches — the off-policy profile (replay writes +
+uniform sampling gathers) the PPO row doesn't exercise. Timing scans
+``--inner`` train iterations inside ONE dispatch (fresh data each — the
+runner carry advances), amortizing the tunnel's ~30 ms intercept like
+bench.py.
 
 Prints ONE JSON line:
-    {"metric": "ppo train env-steps/s", "agent_steps_per_s": ...,
+    {"metric": "<algo> train env-steps/s", "agent_steps_per_s": ...,
      "pde_substeps_per_s": ..., ...}
 """
 
@@ -30,9 +35,9 @@ def main():
     ap.add_argument("--inner", type=int, default=4)
     ap.add_argument("--repeats", type=int, default=5)
     ap.add_argument("--nx", type=int, default=128)
+    ap.add_argument("--algo", default="ppo", choices=("ppo", "sac"))
     args = ap.parse_args()
 
-    from pdecontrolgym_tpu.agents.ppo import PPOConfig, PPOTrainer
     from pdecontrolgym_tpu.envs.common import Boundary1DConfig
     from pdecontrolgym_tpu.envs.transport import TransportEnv
     from pdecontrolgym_tpu.rewards.tuned import TunedReward1D
@@ -44,18 +49,36 @@ def main():
         limit_pde_state_size=True, max_state_value=1e10,
     )
     env = TransportEnv(cfg, TunedReward1D(cfg.nt - 1, -1e3, 3e2))
-    trainer = PPOTrainer(env, PPOConfig(
-        num_envs=args.envs, num_steps=args.num_steps,
-        num_epochs=4, num_minibatches=4, hidden=(128, 128),
-    ))
+    if args.algo == "sac":
+        from pdecontrolgym_tpu.agents.sac import SACConfig, SACTrainer
+
+        trainer = SACTrainer(env, SACConfig(
+            num_envs=args.envs, steps_per_iter=args.num_steps,
+            updates_per_iter=args.num_steps, batch_size=256,
+            buffer_size=max(args.envs * 64, 4 * args.envs),
+            hidden=(128, 128),
+        ))
+        steps_per_iter = args.num_steps
+        step_fn = trainer.make_train_step()
+        metric_key = "critic_loss"
+    else:
+        from pdecontrolgym_tpu.agents.ppo import PPOConfig, PPOTrainer
+
+        trainer = PPOTrainer(env, PPOConfig(
+            num_envs=args.envs, num_steps=args.num_steps,
+            num_epochs=4, num_minibatches=4, hidden=(128, 128),
+        ))
+        steps_per_iter = args.num_steps
+        step_fn = trainer._train_step_local
+        metric_key = "loss"
 
     runner = trainer.init(jax.random.key(0))
 
     @jax.jit
     def run(runner):
         def body(r, _):
-            r, metrics = trainer._train_step_local(r)
-            return r, metrics["loss"]
+            r, metrics = step_fn(r)
+            return r, metrics[metric_key]
         runner, losses = jax.lax.scan(body, runner, None, length=args.inner)
         return runner, losses.sum()
 
@@ -70,10 +93,10 @@ def main():
         float(np.asarray(s))
         best = min(best, time.perf_counter() - t0)
 
-    agent_steps = args.inner * args.envs * args.num_steps
+    agent_steps = args.inner * args.envs * steps_per_iter
     rate = agent_steps / best
     print(json.dumps({
-        "metric": "ppo train env-steps/s (learner in loop)",
+        "metric": f"{args.algo} train env-steps/s (learner in loop)",
         "envs": args.envs, "num_steps": args.num_steps,
         "agent_steps_per_s": round(rate),
         "pde_substeps_per_s": round(rate * cfg.sample_rate),

@@ -202,6 +202,13 @@ class NeuronEnv(FunctionalEnv):
         self.coefficient = ((H @ B) / c.D + gamma).astype(c.dtype)
 
         self._sensing_fn, self._obs_dim = self._make_sensing_fn()
+        if noise_fn is None:
+            # noise-free observation is a pure function of state: declare
+            # observe_batch so batched rollouts carry state only and
+            # recompute obs in-body (parallel/rollout)
+            self.observe_batch = lambda state: jax.vmap(
+                lambda uu, ll: self._observe(uu, ll, None)
+            )(state.u, state.L)
 
     def _make_sensing_fn(self):
         """Resolve the sensing lambda matrix once at construction

@@ -176,6 +176,13 @@ class TrafficARZEnv(FunctionalEnv):
             )
         return jnp.concatenate([state.r, v])
 
+    def observe_batch(self, state):
+        """Observation is a pure function of state (this env has no sensing
+        noise), so batched rollouts may carry state only and recompute obs
+        in-body (parallel/rollout) — XLA dead-codes the velocity
+        reconstruction + concat whenever the policy ignores obs values."""
+        return jax.vmap(self._observe)(state)
+
     # -- dynamics ------------------------------------------------------------
 
     def _substep(self, r, y, q_inlet, q_outlet):
