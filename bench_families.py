@@ -241,7 +241,12 @@ def main():
            "therapy": bench_therapy,
            "ns_matpow": _bench_ns("matpow"), "ns_jacobi": _bench_ns("jacobi"),
            "ns_fast": _bench_ns("direct", n=64),
-           "ns_fast_xla": _bench_ns("direct", n=64, step_backend="xla")}
+           "ns_fast_xla": _bench_ns("direct", n=64, step_backend="xla"),
+           # grid-scaling rows: 128x128 is lane-dense already (pack_r=1,
+           # the kernel runs its transpose-pipelined branch)
+           "ns_fast_128": _bench_ns("direct", n=128),
+           "ns_fast_128_xla": _bench_ns("direct", n=128,
+                                        step_backend="xla")}
     for name in filter(None, args.families.split(",")):
         rate, compile_s = fns[name](args.envs, args.repeats, args.steps)
         print(json.dumps({

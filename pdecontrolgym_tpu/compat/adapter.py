@@ -916,6 +916,7 @@ class NavierStokes2D(gym.Env):
         pressure_layout: str = "grid",
         dtype=None,
         step_backend: str = "auto",
+        spectral_precision: str = "highest",
     ):
         super().__init__()
         from pdecontrolgym_tpu.rewards.ns import NSReward
@@ -947,6 +948,7 @@ class NavierStokes2D(gym.Env):
             pressure_solver=pressure_solver,
             pressure_layout=pressure_layout,
             step_backend=step_backend,
+            spectral_precision=spectral_precision,
             **cfg_kw,
         )
         self.config = cfg

@@ -4,6 +4,9 @@ from pdecontrolgym_tpu.ops.ns_fused import (
     pick_pack_r,
     unpack_field,
 )
+from pdecontrolgym_tpu.ops.brain_tumor_interval import (
+    make_brain_tumor_field_fn,
+)
 from pdecontrolgym_tpu.ops.neuron_interval import make_neuron_interval_fn
 from pdecontrolgym_tpu.ops.pallas1d import (
     make_interval_fn_t,
@@ -24,6 +27,7 @@ __all__ = [
     "direct_pressure_setup",
     "jacobi_pressure",
     "jacobi_pressure_flat",
+    "make_brain_tumor_field_fn",
     "make_fused_ns_step",
     "make_interval_fn_t",
     "make_neuron_interval_fn",
