@@ -531,3 +531,9 @@ class DoseTherapyEnv(TherapyEnv):
         dose = jnp.clip((jnp.asarray(action) + 1.0) / 2.0, 0.0, 1.0)
         state, out = super().step_batch(state, dose)
         return state, out.replace(obs=out.obs / self.config.k)
+
+    def observe_batch(self, state):
+        # MUST shadow TherapyEnv's raw-density observe_batch: the rollout's
+        # state-only-carry path feeds the policy observe(state), which has
+        # to match this env's normalized obs contract (review finding)
+        return state.u / self.config.k

@@ -439,15 +439,24 @@ class NeuronEnv(FunctionalEnv):
         trailing per-dt norm window rides ``norms`` (L2) or ``aux_norms``
         (the reward's declared L1/L∞ ord), prev_u serves differential
         rewards. Shared by the XLA loop and the fused-kernel path so the
-        two cannot drift."""
+        two cannot drift.
+
+        ``time_index`` is the DT-STEP COUNT (t_raw / dt, rounded), not the
+        env state's raw seconds accumulator: rewards interpret time_index
+        as a step index (NormReward's t-horizon divides its window average
+        by ``min(time_index, H)`` and differential compares ``> 0``) — the
+        seconds value (5e-6/step) would make the count fractional and
+        ignore the ring for the first ~10^5 calls (review finding). The
+        env STATE keeps the reference's seconds quirk untouched."""
         c = self.config
         W = ring.shape[-1]
         extras = dict(extras)
         if prev_u is not None:
             extras["prev_u"] = prev_u
+        step_index = jnp.round(t_raw / c.dt).astype(jnp.int32)
         return RewardCtx(
             u=u_new,
-            time_index=t_raw,
+            time_index=step_index,
             executed=jnp.asarray(c.steps_per_call, jnp.int32),
             terminated=terminated,
             truncated=truncated,

@@ -60,9 +60,12 @@ class ReactionDiffusionConfig(Boundary1DConfig):
     # Where the fused PCR kernel's once-per-interval coefficient elimination
     # runs. "kernel" (default, round 5): in-kernel, factors staged through a
     # VMEM scratch ref — only β ships over HBM per interval (the round-4
-    # factor-block DMA was the 153M → 205M sub-steps/s gap at 4096×257).
+    # factor-block DMA was the 153M → 195M sub-steps/s gap at 4096×257),
+    # and it compiles/runs at every auto-eligible size (nx ≤ 8192 measured).
     # "xla": round-4 behavior — factors computed in XLA per interval and
-    # DMA'd in as ~20 stacked blocks; kept as a measured fallback.
+    # DMA'd in as ~20 stacked blocks; kept as a measured fallback, but its
+    # K·dp-row beta operand fails Mosaic compilation at nx ≥ 4096 on the
+    # current image (round-5 measurement) — use "kernel" for large grids.
     pcr_elimination: str = "kernel"
 
 

@@ -25,15 +25,22 @@ from pdecontrolgym_tpu.core.base import FunctionalEnv
 
 
 def _delegate_batch_protocol(wrapper, obs_map=None, act_map=None):
-    """Forward ``step_batch`` / ``fixed_episode_length`` / ``observe_batch``
-    from ``wrapper.env`` onto the wrapper instance, composing the wrapper's
+    """Forward the batched protocol (``step_batch`` / ``init_batch`` /
+    ``observe_batch`` / ``fixed_episode_length`` / ``autoreset_gate``) from
+    ``wrapper.env`` onto the wrapper instance, composing the wrapper's
     batched obs/action adaptation. Instance attributes (not class methods) so
     ``hasattr``/``getattr`` probes in ``parallel/rollout`` see exactly what
-    the inner env supports."""
+    the inner env supports — hiding any of these silently demotes the
+    wrapped env to slower generic paths (e.g. TherapyEnv's forced
+    ``autoreset_gate`` exists because its init fast-forwards a whole
+    Growth stage; losing it re-runs that every rollout step)."""
     env = wrapper.env
     fixed_len = getattr(env, "fixed_episode_length", None)
     if fixed_len is not None:
         wrapper.fixed_episode_length = fixed_len
+    gate = getattr(env, "autoreset_gate", None)
+    if gate is not None:
+        wrapper.autoreset_gate = gate
     if hasattr(env, "step_batch"):
 
         def step_batch(state, actions):
@@ -45,6 +52,15 @@ def _delegate_batch_protocol(wrapper, obs_map=None, act_map=None):
             return state, out
 
         wrapper.step_batch = step_batch
+    if hasattr(env, "init_batch"):
+
+        def init_batch(keys):
+            state, obs = env.init_batch(keys)
+            if obs_map is not None:
+                obs = obs_map(obs)
+            return state, obs
+
+        wrapper.init_batch = init_batch
     inner_observe = getattr(env, "observe_batch", None)
     if inner_observe is not None:
         if obs_map is None:

@@ -35,8 +35,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from pdecontrolgym_tpu.envs.brain_tumor import GROWTH, POST_THERAPY, THERAPY
-
 def make_brain_tumor_field_fn(env, *, tile_b=256, interpret=False):
     """Minimal field kernel for ``BrainTumorEnv.step_batch``:
 

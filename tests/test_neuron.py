@@ -249,3 +249,36 @@ def test_fused_kstep_kernel_with_norm_reward(horizon, norm):
                                    rtol=1e-5, atol=1e-7)
     np.testing.assert_allclose(np.asarray(sp.u), np.asarray(sx.u),
                                rtol=1e-5, atol=1e-7)
+
+
+def test_kstep_t_horizon_reward_semantics():
+    """The once-per-call t-horizon reward must equal the mean of the last H
+    per-dt norms (full window: K >= H means every call fills the ring) —
+    not just kernel==XLA parity. Guards the step-count time_index fix: the
+    env's seconds accumulator would have made NormReward's window count
+    degenerate to 1 for the first ~10^5 calls (review finding)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pdecontrolgym_tpu.envs.neuron import NeuronConfig, NeuronEnv
+    from pdecontrolgym_tpu.rewards.norm import NormReward
+
+    K, H, coeff = 7, 5, 10.0
+    env = NeuronEnv(
+        NeuronConfig(dtype=jnp.float32, steps_per_call=K, backend="xla"),
+        reward=NormReward(nt=1000, horizon="t-horizon", norm="2",
+                          t_horizon_length=H, norm_coeff=coeff),
+    )
+    state, _ = env.init()
+    new_state, out = env.step(state)
+
+    # recompute the last H per-dt L2 norms with the bare advance loop
+    plain = NeuronEnv(NeuronConfig(dtype=jnp.float32, backend="xla"))
+    u, Z, L, t = state.u, state.Z, state.L, state.time_index
+    norms = []
+    for _ in range(K):
+        u, Z, L, t = plain._advance_once(u, Z, L, t)[:4]
+        norms.append(float(jnp.linalg.norm(u)))
+    expected = -np.mean(norms[-H:]) / coeff
+    np.testing.assert_allclose(float(out.reward), expected, rtol=1e-5)
