@@ -36,19 +36,52 @@ def main():
     ap.add_argument("--repeats", type=int, default=5)
     ap.add_argument("--nx", type=int, default=128)
     ap.add_argument("--algo", default="ppo", choices=("ppo", "sac"))
+    ap.add_argument("--env", default="transport", choices=("transport", "ns"),
+                    help="ns: PPO/SAC through the fused NS projection "
+                         "kernel (FlatObsEnv-wrapped, policy consuming the "
+                         "flattened frames — the training contract the "
+                         "wrapper batch-protocol delegation unlocks)")
     args = ap.parse_args()
 
-    from pdecontrolgym_tpu.envs.common import Boundary1DConfig
-    from pdecontrolgym_tpu.envs.transport import TransportEnv
-    from pdecontrolgym_tpu.rewards.tuned import TunedReward1D
+    if args.env == "ns":
+        from pdecontrolgym_tpu.envs.navier_stokes import (
+            NavierStokesConfig, NavierStokesEnv, freeze_boundary_condition,
+            make_lid_target)
+        from pdecontrolgym_tpu.envs.wrappers import FlatObsEnv
+        from pdecontrolgym_tpu.rewards.ns import NSReward
 
-    # the bench.py transport config (BASELINE config 1): 1000 PDE sub-steps
-    # per agent action
-    cfg = Boundary1DConfig(
-        T=5.0, dt=1e-4, X=1.0, dx=1.0 / args.nx, control_sample_rate=0.1,
-        limit_pde_state_size=True, max_state_value=1e10,
-    )
-    env = TransportEnv(cfg, TunedReward1D(cfg.nt - 1, -1e3, 3e2))
+        bc = freeze_boundary_condition({
+            "upper": ["Controllable", "Dirchilet"],
+            "lower": ["Dirchilet", "Dirchilet"],
+            "left": ["Dirchilet", "Dirchilet"],
+            "right": ["Dirchilet", "Dirchilet"],
+        })
+        n = 64
+        ncfg = NavierStokesConfig(
+            T=0.05, dt=2e-4, X=1.0, dx=1.0 / (n - 1), Y=1.0,
+            dy=1.0 / (n - 1), viscosity=0.05, dtype=jnp.float32,
+            boundary_condition=bc, pressure_solver="direct")
+        U_ref, action_ref = make_lid_target(ncfg, lid=2.0)
+        env = FlatObsEnv(NavierStokesEnv(ncfg, NSReward(0.1), U_ref,
+                                         action_ref))
+
+        class _Sub:  # sample_rate analog for the sub-step metric (1:1)
+            sample_rate = 1
+
+        cfg = _Sub()
+    else:
+        from pdecontrolgym_tpu.envs.common import Boundary1DConfig
+        from pdecontrolgym_tpu.envs.transport import TransportEnv
+        from pdecontrolgym_tpu.rewards.tuned import TunedReward1D
+
+        # the bench.py transport config (BASELINE config 1): 1000 PDE
+        # sub-steps per agent action
+        cfg = Boundary1DConfig(
+            T=5.0, dt=1e-4, X=1.0, dx=1.0 / args.nx,
+            control_sample_rate=0.1,
+            limit_pde_state_size=True, max_state_value=1e10,
+        )
+        env = TransportEnv(cfg, TunedReward1D(cfg.nt - 1, -1e3, 3e2))
     if args.algo == "sac":
         from pdecontrolgym_tpu.agents.sac import SACConfig, SACTrainer
 
@@ -95,8 +128,9 @@ def main():
 
     agent_steps = args.inner * args.envs * steps_per_iter
     rate = agent_steps / best
+    tag = "" if args.env == "transport" else f" [{args.env}]"
     print(json.dumps({
-        "metric": f"{args.algo} train env-steps/s (learner in loop)",
+        "metric": f"{args.algo} train env-steps/s (learner in loop){tag}",
         "envs": args.envs, "num_steps": args.num_steps,
         "agent_steps_per_s": round(rate),
         "pde_substeps_per_s": round(rate * cfg.sample_rate),

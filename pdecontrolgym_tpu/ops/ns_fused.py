@@ -427,6 +427,13 @@ def make_fused_ns_step(
             out.append(f)
         return out[0], out[1]
 
+    # staging scratch for the specprobe_store measurement variant (lane-
+    # slice stores vs 4-way concats for the wide pipeline's block merges —
+    # measured EQUAL, 0.468 vs 0.464 ms/step at 2048x64x64: the per-trip
+    # cost is the transposes' data movement itself, not the merge
+    # mechanism); last kernel ref when present
+    use_scr = "specprobe_store" in _ablate
+
     def kernel(*refs):
         (u_ref, v_ref, act_ref, qy_ref, qyT_ref, qx_ref, qxT_ref,
          invT_ref) = refs[:8]
@@ -435,7 +442,8 @@ def make_fused_ns_step(
         if track_ref:
             uref_ref, vref_ref = refs[8:10]
             pos = 10
-        outs = refs[pos:]
+        scr = refs[-1] if use_scr else None
+        outs = refs[pos:-1] if use_scr else refs[pos:]
         uo_ref, vo_ref = outs[0], outs[1]
         po_ref = outs[2] if write_pressure else None
         ts_ref = outs[-1] if track_ref else None
@@ -587,6 +595,24 @@ def make_fused_ns_step(
                 t = bdot(g, qy, m) * invT
                 e3 = bdot(t, qyT, m)
                 pp = bdot(bdot(e3, qx, m), qxT, m)
+            elif "specprobe_store" in _ablate:
+                # the same two transposes + block merges as specprobe_shuf,
+                # but the merges are lane-slice STORES into the staging
+                # scratch instead of 4-way lane concats
+                aT = jnp.swapaxes(g, 1, 2)
+                for s in range(r2):
+                    for j in range(r):
+                        scr[:, 0:nq, (s * r + j) * m:(s * r + j + 1) * m] = (
+                            aT[:, j * nx + s * nq : j * nx + s * nq + nq, :]
+                        )
+                ap = scr[:, 0:nq, :]
+                e3T = jnp.swapaxes(ap * 1.0001, 1, 2)
+                for j in range(r):
+                    for s in range(r2):
+                        scr[:, 0:m, j * nx + s * nq:j * nx + s * nq + nq] = (
+                            e3T[:, s * ny + j * m : s * ny + j * m + m, :]
+                        )
+                pp = scr[:, 0:m, :]
             else:  # specprobe_shuf
                 aT = jnp.swapaxes(g, 1, 2)
                 ap = jnp.concatenate(
@@ -720,6 +746,9 @@ def make_fused_ns_step(
             in_specs=in_specs,
             out_specs=out_specs,
             out_shape=out_shapes,
+            scratch_shapes=(
+                [pltpu.VMEM((tb, m, L), dtype)] if use_scr else []
+            ),
             # u/v outputs overwrite the u/v input buffers in place: block i
             # only ever reads ITS OWN input block (plus broadcast consts),
             # and the pipeline fetches block i before writing block i, so

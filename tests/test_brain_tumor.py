@@ -262,3 +262,32 @@ def test_therapy_env_batched_matches_vmap():
                                       np.asarray(ox.terminated))
         np.testing.assert_array_equal(np.asarray(op.truncated),
                                       np.asarray(ox.truncated))
+
+
+def test_wrapper_forwards_therapy_batch_protocol():
+    """Wrappers must forward init_batch/autoreset_gate/observe_batch from
+    the wrapped env (review finding: hiding autoreset_gate re-ran
+    TherapyEnv's Growth fast-forward on every ungated rollout step), and
+    DoseTherapyEnv's observe_batch must match its normalized obs
+    contract."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pdecontrolgym_tpu.envs.brain_tumor import (
+        BrainTumorConfig, BrainTumorEnv, DoseTherapyEnv)
+    from pdecontrolgym_tpu.envs.wrappers import FlatObsEnv
+
+    base = BrainTumorEnv(
+        BrainTumorConfig(dtype=jnp.float32, **FAST), BrainTumorReward())
+    denv = DoseTherapyEnv(base, t_benchmark=40)
+    wrapped = FlatObsEnv(denv)
+    assert wrapped.autoreset_gate is True
+    assert hasattr(wrapped, "init_batch")
+    keys = jax.random.split(jax.random.key(0), 3)
+    state, obs = wrapped.init_batch(keys)
+    # observe_batch(state) must equal the init obs (normalized by k)
+    np.testing.assert_allclose(
+        np.asarray(wrapped.observe_batch(state)), np.asarray(obs),
+        rtol=1e-6)
+    assert float(jnp.abs(obs).max()) <= 1.0 + 1e-6  # normalized contract
