@@ -113,3 +113,60 @@ def test_zero_length_rollout():
     (state, obs), outs = rollout(env, _policy, 4, 0, jax.random.PRNGKey(0))
     assert outs.obs.shape[0] == 0
     assert obs.shape == (4,) + env.obs_shape
+
+
+def test_generic_observe_path_matches_carried_obs_path():
+    """The round-5 state-only-carry generic path (env declares
+    observe_batch) must produce EXACTLY the same trajectory — rewards,
+    flags, stacked obs, final obs — as the carried-obs path (observe_batch
+    hidden), including across autoresets. Uses traffic (a truncating env
+    whose episodes desynchronize) with a policy that CONSUMES obs values,
+    so the recomputed observations are live, not dead-coded."""
+    from pdecontrolgym_tpu.envs.traffic_arz import (
+        TrafficARZConfig, TrafficARZEnv)
+    from pdecontrolgym_tpu.rewards.traffic import TrafficARZReward
+
+    cfg = TrafficARZConfig(T=2.0, simulation_type="outlet")
+    env = TrafficARZEnv(cfg, TrafficARZReward())
+    mid = 0.5 * (env.action_low + env.action_high)
+
+    def policy(obs, _key):
+        # obs-dependent actions: recomputed obs must match carried obs
+        return mid * (1.0 + 0.01 * jnp.tanh(obs[..., 0]))
+
+    key = jax.random.key(3)
+    assert hasattr(env, "observe_batch")
+    (s1, o1), outs1 = jax.jit(
+        lambda k: rollout(env, policy, 8, 40, k))(key)
+
+    class Hidden:
+        """Proxy hiding observe_batch (same step/init/step_batch)."""
+
+        def __getattr__(self, name):
+            if name in ("observe_batch",):
+                raise AttributeError(name)
+            return getattr(env, name)
+
+    hidden = Hidden()
+    assert not hasattr(hidden, "observe_batch")
+    (s2, o2), outs2 = jax.jit(
+        lambda k: rollout(hidden, policy, 8, 40, k))(key)
+
+    # the two paths compute the same function but XLA fuses the recomputed
+    # obs into different surrounding ops (different fp association), and the
+    # ~1-ulp action differences compound through the obs-feedback loop —
+    # tight tolerance, not bitwise
+    tol = dict(rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), **tol)
+    np.testing.assert_allclose(np.asarray(outs1.obs),
+                               np.asarray(outs2.obs), **tol)
+    np.testing.assert_allclose(np.asarray(outs1.reward),
+                               np.asarray(outs2.reward), **tol)
+    np.testing.assert_array_equal(np.asarray(outs1.terminated),
+                                  np.asarray(outs2.terminated))
+    np.testing.assert_array_equal(np.asarray(outs1.truncated),
+                                  np.asarray(outs2.truncated))
+    for a, b in zip(jax.tree_util.tree_leaves(s1),
+                    jax.tree_util.tree_leaves(s2)):
+        np.testing.assert_allclose(np.asarray(a, np.float64),
+                                   np.asarray(b, np.float64), **tol)
