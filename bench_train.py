@@ -64,11 +64,7 @@ def main():
         U_ref, action_ref = make_lid_target(ncfg, lid=2.0)
         env = FlatObsEnv(NavierStokesEnv(ncfg, NSReward(0.1), U_ref,
                                          action_ref))
-
-        class _Sub:  # sample_rate analog for the sub-step metric (1:1)
-            sample_rate = 1
-
-        cfg = _Sub()
+        sub_rate = 1  # NS: one PDE step per agent action
     else:
         from pdecontrolgym_tpu.envs.common import Boundary1DConfig
         from pdecontrolgym_tpu.envs.transport import TransportEnv
@@ -82,6 +78,7 @@ def main():
             limit_pde_state_size=True, max_state_value=1e10,
         )
         env = TransportEnv(cfg, TunedReward1D(cfg.nt - 1, -1e3, 3e2))
+        sub_rate = cfg.sample_rate
     if args.algo == "sac":
         from pdecontrolgym_tpu.agents.sac import SACConfig, SACTrainer
 
@@ -133,7 +130,7 @@ def main():
         "metric": f"{args.algo} train env-steps/s (learner in loop){tag}",
         "envs": args.envs, "num_steps": args.num_steps,
         "agent_steps_per_s": round(rate),
-        "pde_substeps_per_s": round(rate * cfg.sample_rate),
+        "pde_substeps_per_s": round(rate * sub_rate),
         "unit": "agent env-steps/s",
         "compile_s": round(compile_s, 1),
     }), flush=True)

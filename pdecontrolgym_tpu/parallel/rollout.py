@@ -32,18 +32,20 @@ def env_noise_fn(env):
     return None
 
 
-def batch_init(env, num_envs: int):
-    """Returns ``init(key) -> (state, obs)`` for a batch of envs.
+def _init_batch_fn(env):
+    """``keys -> (state, obs)``: the env's fused ``init_batch`` (e.g.
+    TherapyEnv's Growth fast-forward) when declared, else per-env vmap."""
+    return getattr(env, "init_batch", None) or (
+        lambda keys: jax.vmap(env.init)(keys)
+    )
 
-    Prefers the env's fused ``init_batch(keys)`` (e.g. TherapyEnv's
-    in-kernel Growth fast-forward) over per-env vmap."""
-    init_batch = getattr(env, "init_batch", None)
+
+def batch_init(env, num_envs: int):
+    """Returns ``init(key) -> (state, obs)`` for a batch of envs."""
+    init_batch = _init_batch_fn(env)
 
     def init(key):
-        keys = jax.random.split(key, num_envs)
-        if init_batch is not None:
-            return init_batch(keys)
-        return jax.vmap(env.init)(keys)
+        return init_batch(jax.random.split(key, num_envs))
 
     return init
 
@@ -70,15 +72,11 @@ def batch_step(env, autoreset: bool = True):
         leaves = jax.tree_util.tree_leaves(state)
         n = leaves[0].shape[0]
 
-        init_batch = getattr(env, "init_batch", None)
+        init_batch = _init_batch_fn(env)
 
         def do_reset(operand):
             next_state, out, key = operand
-            keys = jax.random.split(key, n)
-            fresh_state, fresh_obs = (
-                init_batch(keys) if init_batch is not None
-                else jax.vmap(env.init)(keys)
-            )
+            fresh_state, fresh_obs = init_batch(jax.random.split(key, n))
 
             def sel(a, b):
                 d = done.reshape(done.shape + (1,) * (a.ndim - done.ndim))
