@@ -213,9 +213,26 @@ class PPOTrainer:
         )
         batch_size = cfg.num_steps * obs_t.shape[1]
         mb_size = batch_size // cfg.num_minibatches
+        # Pack the per-sample scalars (action, logp, value, adv, return)
+        # into ONE (N, adim+4) matrix so each epoch's shuffle is TWO gathers
+        # (obs + scalars) instead of six: a random-permutation gather of a
+        # small (N,) vector is latency-bound, and the five separate gathers
+        # per epoch measured 9.4 ms/iter of the 35 ms PPO train step at
+        # 4096x16 — more than the whole learner (profiler trace, round 5).
+        obs_b, act_b, logp_b, val_b, adv_b, ret_b = batch
+        adim = act_b.shape[1]
+        sc_b = jnp.concatenate(
+            [act_b, logp_b[:, None], val_b[:, None], adv_b[:, None],
+             ret_b[:, None]], axis=1,
+        )
+
+        def unpack_mb(mb):
+            obs, sc = mb
+            return (obs, sc[:, :adim], sc[:, adim], sc[:, adim + 1],
+                    sc[:, adim + 2], sc[:, adim + 3])
 
         def loss_fn(params, mb):
-            obs, act, logp_old, val_old, adv, ret = mb
+            obs, act, logp_old, val_old, adv, ret = unpack_mb(mb)
             mean, log_std, value = self.net.apply(params, obs)
             logp = gaussian_logp(act, mean, log_std)
             ratio = jnp.exp(logp - logp_old)
@@ -234,7 +251,7 @@ class PPOTrainer:
         def epoch(carry, epoch_key):
             params, opt_state = carry
             perm = jax.random.permutation(epoch_key, batch_size)
-            shuffled = jax.tree_util.tree_map(lambda x: x[perm], batch)
+            shuffled = (obs_b[perm], sc_b[perm])
             minibatches = jax.tree_util.tree_map(
                 lambda x: x.reshape((cfg.num_minibatches, mb_size) + x.shape[1:]),
                 shuffled,

@@ -248,11 +248,7 @@ class SACTrainer:
         cfg = self.cfg
 
         def env_step(carry, step_key):
-            env_state, obs, buffer = carry
-            # local (per-shard) counts come from array shapes so the same code
-            # runs whole-batch or inside shard_map
-            n_local = obs.shape[0]
-            cap = buffer.obs.shape[0]
+            env_state, obs = carry
             a_key, r_key = jax.random.split(step_key)
             mean, log_std = self.actor.apply(runner.actor_params, obs)
             act, _ = _squash(mean, log_std, a_key)
@@ -260,23 +256,63 @@ class SACTrainer:
             ea = env_action[:, 0] if self.adim == 1 else env_action
             env_state, out = self._env_step(env_state, ea, r_key)
             done = jnp.logical_or(out.terminated, out.truncated)
-            idx = (buffer.ptr + jnp.arange(n_local)) % cap
-            buffer = buffer.replace(
-                obs=buffer.obs.at[idx].set(obs),
-                action=buffer.action.at[idx].set(act),
-                reward=buffer.reward.at[idx].set(out.reward * cfg.reward_scale),
-                next_obs=buffer.next_obs.at[idx].set(out.obs),
-                done=buffer.done.at[idx].set(done),
-                ptr=(buffer.ptr + n_local) % cap,
-                size=jnp.minimum(buffer.size + n_local, cap),
-            )
-            return (env_state, out.obs, buffer), out.reward
+            data = (obs, act, out.reward, out.obs, done)
+            return (env_state, out.obs), data
 
         keys = jax.random.split(key, cfg.steps_per_iter)
-        (env_state, obs, buffer), rews = jax.lax.scan(
-            env_step, (runner.env_state, runner.obs, runner.buffer), keys
+        (env_state, obs), traj = jax.lax.scan(
+            env_step, (runner.env_state, runner.obs), keys
         )
-        return env_state, obs, buffer, rews.mean()
+        # ---- one ring write per iteration ----
+        # The previous per-step `.at[(ptr+arange) % cap].set(...)` writes
+        # were SCATTERS with computed indices, which XLA cannot prove
+        # in-place on the scan-carried ring: the profiler showed two full
+        # ring copies (2 x 134 MB at the bench config) per env step —
+        # fusion.393/397, ~10 ms of the 33 ms train iteration. Collecting
+        # the (steps, n, ...) trajectory first (33 MB) and committing it as
+        # ONE contiguous dynamic_update_slice makes the update in-place.
+        # The slice placement is exact when cap divides into whole
+        # iterations (ptr then stays on the rows-lattice: init writes 0,
+        # every iteration advances by `rows`); otherwise fall back to the
+        # scatter form, whose placement handles arbitrary wrap.
+        buffer = runner.buffer
+        n_local = runner.obs.shape[0]
+        cap = buffer.obs.shape[0]
+        rows = n_local * cfg.steps_per_iter
+        flat = jax.tree_util.tree_map(
+            lambda x: x.reshape((rows,) + x.shape[2:]), traj
+        )
+        flat = (flat[0], flat[1], flat[2] * cfg.reward_scale, flat[3],
+                flat[4])
+        names = ("obs", "action", "reward", "next_obs", "done")
+        # match ring dtypes explicitly (the old scatter .set cast implicitly;
+        # dynamic_update_slice does not — e.g. f64 env rewards under x64
+        # tests into the f32 ring)
+        flat = tuple(
+            val.astype(getattr(buffer, name).dtype)
+            for name, val in zip(names, flat)
+        )
+        if cap % rows == 0:
+            zero = jnp.zeros((), buffer.ptr.dtype)
+            updates = {
+                name: jax.lax.dynamic_update_slice(
+                    getattr(buffer, name), val,
+                    (buffer.ptr,) + (zero,) * (val.ndim - 1),
+                )
+                for name, val in zip(names, flat)
+            }
+        else:
+            idx = (buffer.ptr + jnp.arange(rows)) % cap
+            updates = {
+                name: getattr(buffer, name).at[idx].set(val)
+                for name, val in zip(names, flat)
+            }
+        buffer = buffer.replace(
+            ptr=(buffer.ptr + rows) % cap,
+            size=jnp.minimum(buffer.size + rows, cap),
+            **updates,
+        )
+        return env_state, obs, buffer, traj[2].mean()
 
     def _update(self, runner: SACRunner, buffer: Buffer, key):
         cfg = self.cfg
