@@ -106,11 +106,12 @@ def bench_env(name, num_envs, repeats=3, inner=8):
 
 
 def _build_reaction_diffusion(num_envs):
-    """BASELINE config 3: parabolic implicit scheme, nx=256. The θ-scheme
-    operators are constant, so the dense-propagator solver applies
-    each sub-step as ONE batched (B,n)@(n,n) MXU matmul (vs 2n sequential
-    Thomas sweep steps on the VPU); stable at 40x the explicit FTCS dt bound,
-    so a control interval needs only 25 sub-steps."""
+    """BASELINE config 3: parabolic implicit scheme, nx=256, the DEFAULT
+    solver (auto → the VMEM-resident PCR interval kernel with in-kernel
+    elimination; correct for any per-env β). Stable at 40x the explicit
+    FTCS dt bound, so a control interval needs only 25 sub-steps. (The
+    row ran implicit_solver="dense" through round 4, when the dense
+    propagator was the winner — the bench follows the measured default.)"""
     from pdecontrolgym_tpu.envs.reaction_diffusion import (
         ReactionDiffusionConfig,
         ReactionDiffusionEnv,
@@ -120,7 +121,7 @@ def _build_reaction_diffusion(num_envs):
     nx = 256
     cfg = ReactionDiffusionConfig(
         T=1.0, dt=4e-4, X=1.0, dx=1.0 / nx, control_sample_rate=0.01,
-        scheme="implicit", theta=0.5, implicit_solver="dense",
+        scheme="implicit", theta=0.5,
     )
     env = ReactionDiffusionEnv(cfg, TunedReward1D(int(round(cfg.T / cfg.dt))))
 
