@@ -133,9 +133,10 @@ def _build_reaction_diffusion(num_envs):
 
 def _build_ns(num_envs):
     """BASELINE config 5: 2D Navier-Stokes 64x64, fast mode = direct spectral
-    pressure solve (DCT-II matmuls riding the MXU — the exact fixed point the
-    reference's 2000 Jacobi sweeps approximate; ops/poisson2d.direct_pressure).
-    Measured 465K env-steps/s at 2048 envs vs 34K with 200 Jacobi iterations."""
+    pressure solve through the fused Pallas projection kernel (step_backend
+    "auto"; ops/ns_fused). Measures ~2.8M env-steps/s at 2048 envs on this
+    short-episode harness (the steady-state family row is 3.47M,
+    BENCH_SNAPSHOT_r05) vs 34K with 200 Jacobi iterations."""
     import numpy as np
 
     from pdecontrolgym_tpu.envs.navier_stokes import (

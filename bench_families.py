@@ -128,8 +128,10 @@ def bench_brain_tumor(num_envs, repeats, steps=None):
 
 
 def bench_brain_tumor_xla(num_envs, repeats, steps=None):
-    """backend='xla' pin of the brain_tumor row (the fused day kernel is
-    the default on TPU) — the A/B for docs/PERFORMANCE.md."""
+    """backend='xla' pin of the brain_tumor row. Since round 5 'auto' also
+    resolves to vmap for this family (every kernel variant measured slower
+    — ops/brain_tumor_interval), so this row should EQUAL brain_tumor; it
+    stays as the drift guard for that decision."""
     from pdecontrolgym_tpu.envs.brain_tumor import BrainTumorConfig, BrainTumorEnv
     from pdecontrolgym_tpu.rewards.brain_tumor import BrainTumorReward
 
