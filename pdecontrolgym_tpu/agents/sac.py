@@ -120,6 +120,18 @@ class SACTrainer:
 
     def __init__(self, env, config: SACConfig = SACConfig(), mesh=None):
         self.env = env
+        # Round the ring capacity UP to a whole number of iterations so the
+        # in-place contiguous ring write (the +52% train-step fast path in
+        # ``_collect``) is the DEFAULT, not a divisibility accident; the
+        # write pointer then always stays on the rows-lattice. Rings
+        # smaller than one iteration (tiny demo configs) keep their size
+        # and take the scatter fallback, which retains only the last
+        # ``buffer_size`` transitions — the old per-step semantics.
+        rows = config.num_envs * config.steps_per_iter
+        if config.buffer_size >= rows and config.buffer_size % rows:
+            config = dataclasses.replace(
+                config, buffer_size=-(-config.buffer_size // rows) * rows
+            )
         self.cfg = config
         self.mesh = mesh
         self.adim = env.action_dim
@@ -293,22 +305,41 @@ class SACTrainer:
             for name, val in zip(names, flat)
         )
         if cap % rows == 0:
+            # snap the write start onto the rows-lattice: buffers this
+            # trainer initializes are always on it (init writes 0, each
+            # iteration advances by rows), but a runner restored from a
+            # DIFFERENT steps_per_iter/num_envs config may not be —
+            # dynamic_update_slice would then CLAMP at the ring end instead
+            # of wrapping, silently corrupting placement vs the size/ptr
+            # accounting. Snapping costs one transitional overwrite of an
+            # interchangeable ring region and re-normalizes ptr permanently.
+            start = buffer.ptr - buffer.ptr % rows
             zero = jnp.zeros((), buffer.ptr.dtype)
             updates = {
                 name: jax.lax.dynamic_update_slice(
                     getattr(buffer, name), val,
-                    (buffer.ptr,) + (zero,) * (val.ndim - 1),
+                    (start,) + (zero,) * (val.ndim - 1),
                 )
                 for name, val in zip(names, flat)
             }
+            new_ptr = (start + rows) % cap
         else:
-            idx = (buffer.ptr + jnp.arange(rows)) % cap
+            # scatter fallback for non-dividing capacities. When the ring
+            # is smaller than one iteration's data, keep only the LAST
+            # ``cap`` transitions (static tail slice): a self-overlapping
+            # scatter index vector would make which duplicate survives
+            # implementation-defined, while the tail slice reproduces the
+            # old per-step sequential-overwrite outcome exactly.
+            eff = min(rows, cap)
+            tail = tuple(v[rows - eff:] for v in flat)
+            idx = (buffer.ptr + (rows - eff) + jnp.arange(eff)) % cap
             updates = {
                 name: getattr(buffer, name).at[idx].set(val)
-                for name, val in zip(names, flat)
+                for name, val in zip(names, tail)
             }
+            new_ptr = (buffer.ptr + rows) % cap
         buffer = buffer.replace(
-            ptr=(buffer.ptr + rows) % cap,
+            ptr=new_ptr,
             size=jnp.minimum(buffer.size + rows, cap),
             **updates,
         )

@@ -147,5 +147,15 @@ def test_ns_precision_ladder_smoke(capsys):
     _run("examples/ns_precision_ladder.py",
          ["--envs", "2", "--n", "16", "--steps", "3"])
     out = capsys.readouterr().out
-    for mode in ("highest", "high", "default"):
-        assert f"spectral_precision={mode}" in out
+    import re
+
+    drifts = {}
+    for line in out.splitlines():
+        m = re.search(r"spectral_precision=(\w+)\s.*drift vs highest: "
+                      r"([0-9.e+-]+)", line)
+        if m:
+            drifts[m.group(1)] = float(m.group(2))
+    assert set(drifts) == {"highest", "high", "default"}
+    assert drifts["highest"] == 0.0
+    # the knobs actually change the arithmetic, and "high" is tighter
+    assert 0.0 < drifts["high"] < drifts["default"]
