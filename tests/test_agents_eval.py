@@ -111,3 +111,59 @@ def test_sac_sharded_eight_devices():
     assert p.sharding.is_fully_replicated
     assert not runner.buffer.obs.sharding.is_fully_replicated
     assert int(runner.buffer.size) == 2 * 2 * (32 // 8)  # per-shard count
+
+
+def test_sac_ring_write_edge_cases():
+    """Review-finding pins for the in-place ring write (round 5):
+
+    1. capacity rounds UP to whole iterations, so the contiguous fast path
+       is the default for any buffer_size >= one iteration;
+    2. an OFF-LATTICE restored ptr lattice-snaps instead of letting
+       dynamic_update_slice clamp at the ring end (placement corruption);
+    3. a ring SMALLER than one iteration deterministically keeps the LAST
+       cap transitions (the old per-step sequential-overwrite outcome).
+    """
+    env = _env()
+
+    # (1) rounding: 100 -> 128 with rows = 8*4 = 32
+    cfg = SACConfig(num_envs=8, buffer_size=100, batch_size=16,
+                    steps_per_iter=4, updates_per_iter=1, hidden=(16, 16))
+    trainer = SACTrainer(env, cfg)
+    assert trainer.cfg.buffer_size == 128
+    runner = trainer.init(jax.random.key(0))
+
+    # (2) off-lattice ptr (e.g. restored from a different steps_per_iter):
+    # after one collect, the write must land inside the ring on the
+    # lattice and ptr must be re-normalized — no end-clamp, no stale rows
+    # claimed fresh by the accounting
+    runner = runner.replace(buffer=runner.buffer.replace(
+        ptr=jnp.asarray(113, jnp.int32)))  # 113 % 32 != 0, 113+32 > 128
+    _, _, buffer, _ = trainer._collect(runner, jax.random.key(1))
+    assert int(buffer.ptr) == (96 + 32) % 128  # snapped to floor lattice
+    rows = np.asarray(buffer.obs[96:128])
+    assert np.abs(rows).sum() > 0  # the snapped region actually got data
+
+    # (3) sub-iteration ring: rows = 8*4 = 32 > cap = 24 -> keeps exactly
+    # the LAST 24 transitions in ring order
+    cfg2 = SACConfig(num_envs=8, buffer_size=24, batch_size=8,
+                     steps_per_iter=4, updates_per_iter=1, hidden=(16, 16))
+    trainer2 = SACTrainer(env, cfg2)
+    assert trainer2.cfg.buffer_size == 24  # not rounded (below one iter)
+    runner2 = trainer2.init(jax.random.key(2))
+    _, _, buf2, _ = trainer2._collect(runner2, jax.random.key(3))
+    assert int(buf2.ptr) == 32 % 24
+    assert int(buf2.size) == 24
+    # rewards of the last 24 transitions (steps 1..3 of the 8-env x 4-step
+    # trajectory) all present; re-derive via a reference collect with a
+    # large ring
+    cfg_big = SACConfig(num_envs=8, buffer_size=64, batch_size=8,
+                        steps_per_iter=4, updates_per_iter=1,
+                        hidden=(16, 16))
+    trainer_big = SACTrainer(env, cfg_big)
+    runner_big = trainer_big.init(jax.random.key(2))
+    _, _, buf_big, _ = trainer_big._collect(runner_big, jax.random.key(3))
+    want = np.asarray(buf_big.reward[8:32])  # last 24 of the 32 rows
+    got = np.roll(np.asarray(buf2.reward), -int(32 % 24))[:24]
+    # ring position p holds global row 8 + p' where p' is ring order from
+    # the oldest surviving transition
+    np.testing.assert_allclose(np.sort(got), np.sort(want), rtol=1e-6)
